@@ -1,0 +1,91 @@
+"""Benchmark: body-updates/sec at N=1M, theta=0.5 (BASELINE.json metric).
+
+Runs the Barnes-Hut solver (kdk_reuse: one tree build + force pass per step,
+plus the merge pass) on the two-disk galaxy collision scaled to N total
+bodies. Prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+
+vs_baseline is relative to the reference's derived interactive throughput of
+~7.5e5 body-updates/sec (BASELINE.md: N=12,500 at an assumed 60 FPS on a
+multicore desktop CPU; the reference publishes no numbers).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+BASELINE_UPDATES_PER_SEC = 7.5e5
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=1_000_000)
+    ap.add_argument("--theta", type=float, default=0.5)
+    ap.add_argument("--steps", type=int, default=20)
+    ap.add_argument("--warmup-steps", type=int, default=5)
+    ap.add_argument("--solver", default="bh", choices=["bh", "allpairs"])
+    ap.add_argument("--integrator", default="kdk_reuse")
+    ap.add_argument("--small", action="store_true",
+                    help="tiny config for CPU smoke runs")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.small:
+        args.n = min(args.n, 20_000)
+        args.steps = min(args.steps, 5)
+        args.warmup_steps = 2
+
+    from tpu_nbody.config import Params, SimConfig
+    from tpu_nbody.engine import Engine
+
+    n = args.n
+    cap = 1 << (n - 1).bit_length()  # next pow2
+    cfg = SimConfig(
+        capacity=cap,
+        max_depth=11 if args.small else 14,
+        group_chunk=16,
+        approx_cap=512,
+        direct_body_cap=1024,
+        frontier_cap=512,
+        leaf_list_cap=256,
+    )
+    params = Params.default(theta=args.theta)
+    eng = Engine(cfg, params, solver=args.solver, integrator=args.integrator,
+                 seed=3)
+    n2 = n // 5
+    eng.reset_default_scene(n1=n - n2, n2=n2)
+
+    # Warmup: compile + let cap auto-retune settle.
+    t0 = time.perf_counter()
+    eng.step(args.warmup_steps)
+    jax.block_until_ready(eng.state.pos)
+    warmup_s = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    eng.step(args.steps)
+    jax.block_until_ready(eng.state.pos)
+    dt = time.perf_counter() - t0
+
+    n_alive = int(eng.state.n_alive())
+    updates_per_sec = n_alive * args.steps / dt
+    result = {
+        "metric": f"body-updates/sec (N={n_alive}, theta={args.theta}, "
+                  f"solver={args.solver})",
+        "value": round(updates_per_sec, 1),
+        "unit": "bodies/s",
+        "vs_baseline": round(updates_per_sec / BASELINE_UPDATES_PER_SEC, 2),
+    }
+    print(json.dumps(result))
+    print(f"# backend={jax.default_backend()} steps={args.steps} "
+          f"elapsed={dt:.3f}s warmup={warmup_s:.1f}s "
+          f"ms/step={1e3 * dt / args.steps:.2f} caps={eng.caps}",
+          file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,154 @@
+"""End-to-end engine tests: stepping, scene API, checkpoint, diagnostics."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpu_nbody import checkpoint
+from tpu_nbody.config import Params, SimConfig
+from tpu_nbody.engine import Engine
+
+SMALL = dict(max_depth=7, group_chunk=16, approx_cap=1024,
+             direct_body_cap=2048, frontier_cap=512, leaf_list_cap=256)
+
+
+@pytest.fixture(scope="module")
+def engine():
+    cfg = SimConfig(capacity=2048, **SMALL)
+    eng = Engine(cfg, solver="bh", integrator="kdk")
+    eng.reset_default_scene(n1=1200, n2=400)
+    return eng
+
+
+def test_step_and_energy(engine):
+    e0 = engine.stats()
+    engine.params = engine.params.replace(merge_min_dist=0.0)
+    engine.step(5)
+    e1 = engine.stats()
+    assert int(e1["step"]) == int(e0["step"]) + 5
+    # no merge -> body count constant, energy roughly conserved
+    assert int(e1["n_alive"]) == int(e0["n_alive"])
+    rel = abs(float(e1["energy"] - e0["energy"])) / abs(float(e0["energy"]))
+    assert rel < 5e-3
+
+
+def test_merge_eats_satellites(engine):
+    engine.params = engine.params.replace(merge_min_dist=8.0)
+    # Drop a black hole (m=50k > merge threshold 4k) straight onto the
+    # dense disk center: nearby satellites must be absorbed within a step.
+    com = np.asarray(engine.state.pos)[np.asarray(engine.state.alive)].mean(0)
+    engine.add_black_hole(float(com[0]), float(com[1]))
+    n0 = int(engine.state.n_alive())
+    m0 = float(engine.state.mass.sum())
+    engine.step(3)
+    n1 = int(engine.state.n_alive())
+    m1 = float(engine.state.mass.sum())
+    assert n1 < n0  # heavy bodies absorb neighbors within 8px
+    np.testing.assert_allclose(m1, m0, rtol=1e-4)  # mass conserved
+
+
+def test_scene_edits(engine):
+    n0 = int(engine.state.n_alive())
+    engine.add_black_hole(600.0, 200.0, vx=10.0)
+    assert int(engine.state.n_alive()) == n0 + 1
+    engine.add_cloud(100, 0.5)
+    assert int(engine.state.n_alive()) == n0 + 101
+    engine.clear()
+    assert int(engine.state.n_alive()) == 0
+    engine.reset_default_scene(n1=500, n2=200)
+    assert int(engine.state.n_alive()) == 700
+
+
+def test_tree_boxes(engine):
+    center, side = engine.tree_boxes()
+    assert center.shape[0] == side.shape[0] > 0
+    assert (side > 0).all()
+
+
+def test_allpairs_engine_matches_bh_loosely():
+    cfg = SimConfig(capacity=512, **SMALL)
+    p = Params.default(merge_min_dist=0.0)
+    e_bh = Engine(cfg, p, solver="bh", integrator="kdk", seed=9)
+    e_ap = Engine(cfg, p, solver="allpairs", integrator="kdk",
+                  allpairs_impl="xla", seed=9)
+    e_bh.reset_default_scene(n1=300, n2=100)
+    e_ap.state = e_bh.state
+    e_bh.step(3)
+    e_ap.step(3)
+    d = np.linalg.norm(np.asarray(e_bh.state.pos - e_ap.state.pos), axis=-1)
+    alive = np.asarray(e_bh.state.alive)
+    assert np.median(d[alive]) < 0.5  # theta=0.3 trajectories stay close
+
+
+def test_kdk_reuse_engine_runs():
+    cfg = SimConfig(capacity=512, **SMALL)
+    eng = Engine(cfg, solver="bh", integrator="kdk_reuse")
+    eng.reset_default_scene(n1=300, n2=100)
+    eng.step(4)
+    assert int(eng.state.step) == 4
+
+
+def test_cap_auto_retune():
+    cfg = SimConfig(capacity=1024, max_depth=7, group_chunk=16,
+                    approx_cap=64, direct_body_cap=64, frontier_cap=64,
+                    leaf_list_cap=16)
+    eng = Engine(cfg, solver="bh", integrator="kdk")
+    eng.reset_default_scene(n1=600, n2=200)
+    eng.step(1)
+    caps = eng.caps
+    assert (caps.approx_cap > 64 or caps.direct_body_cap > 64
+            or caps.frontier_cap > 64 or caps.leaf_list_cap > 16)
+    # after retune the recorded stats fit within the caps
+    assert not bool(eng.last_stats.overflowed(caps.as_dict()))
+
+
+def test_checkpoint_roundtrip(tmp_path, engine):
+    engine.reset_default_scene(n1=300, n2=100)
+    engine.step(2)
+    path = tmp_path / "ckpt.npz"
+    checkpoint.save(path, engine.state, engine.params)
+    state, params, _ = checkpoint.load(path)
+    np.testing.assert_array_equal(np.asarray(state.pos),
+                                  np.asarray(engine.state.pos))
+    np.testing.assert_array_equal(np.asarray(state.alive),
+                                  np.asarray(engine.state.alive))
+    assert int(state.step) == int(engine.state.step)
+    assert float(params.G) == float(engine.params.G)
+    # resume: stepping from the checkpoint matches stepping the original
+    eng2 = Engine(engine.cfg, params, solver="bh", integrator="kdk")
+    eng2.state = state
+    eng2.step(2)
+    engine.step(2)
+    np.testing.assert_allclose(np.asarray(eng2.state.pos),
+                               np.asarray(engine.state.pos), atol=1e-5)
+
+
+def test_strict_parity_outside_root():
+    """Outside-root bodies exert nothing in strict mode (BarnesHutAlg.kt:126)."""
+    cfg = SimConfig(capacity=256, **SMALL)
+    pos = np.zeros((3, 2), np.float32)
+    pos[0] = [1200.0, 400.0]
+    pos[1] = [1210.0, 400.0]
+    pos[2] = [99999.0, 99999.0]  # far outside the root quad
+    vel = np.zeros_like(pos)
+    mass = np.array([10.0, 10.0, 1e9], np.float32)
+    p = Params.default(dt=0.001, merge_min_dist=0.0)
+
+    e_strict = Engine(cfg, p, solver="bh", integrator="kdk",
+                      strict_parity=True)
+    e_strict.set_bodies(pos, vel, mass)
+    e_strict.step(1)
+    # the 1e9-mass outsider must NOT have pulled bodies 0/1 (it exerts no
+    # force in the reference because insert() drops it)
+    v = np.asarray(e_strict.state.vel)[:2]
+    assert np.abs(v).max() < 1.0
+
+    e_phys = Engine(cfg, p, solver="bh", integrator="kdk",
+                    strict_parity=False)
+    e_phys.set_bodies(pos, vel, mass)
+    e_phys.step(1)
+    v2 = np.asarray(e_phys.state.vel)[:2]
+    assert np.abs(v2).max() > np.abs(v).max()  # physical mode: it pulls

@@ -1,0 +1,152 @@
+"""Static configuration and dynamic parameters.
+
+The reference keeps one global *mutable* ``object Config`` (reference:
+``src/main/kotlin/Config.kt:2-40``) whose fields are live-mutated by UI key
+bindings while the simulation runs, plus a second private const Config for the
+GPU demo (``src/main/kotlin/gpu/GPU.kt:15-75``).
+
+TPU-native split:
+
+* :class:`SimConfig` — frozen/static facts that participate in jit tracing
+  (capacity, world extent, tree depth, bucket sizes). Changing one of these
+  recompiles.
+* :class:`Params` — a pytree of dynamic scalars (G, dt, theta, softening^2,
+  merge thresholds). These are ordinary traced values: the UI can mutate them
+  every step without triggering recompilation, which replicates the
+  reference's live-tunable Config vars (``src/main/kotlin/NBodyPanel.kt:247-260``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+# Reference defaults (src/main/kotlin/Config.kt:5-38).
+WIDTH_PX = 2400.0
+HEIGHT_PX = 800.0
+G_DEFAULT = 80.0
+DT_DEFAULT = 0.005
+SOFTENING_DEFAULT = 1.0
+THETA_DEFAULT = 0.30
+DISK_R_DEFAULT = 100.0
+DISK_N_DEFAULT = 5_000
+CENTRAL_MASS = 50_000.0
+MIN_R = 8.0
+TOTAL_SATELLITE_MASS = 5_000.0
+# Merge rule defaults (src/main/kotlin/BarnesHutAlg.kt:315-321).
+MERGE_MAX_MASS_DEFAULT = 4_000.0
+
+# GPU demo defaults (src/main/kotlin/gpu/GPU.kt:15-75) — note they differ
+# from the CPU-path Config on purpose; the reference ships two programs.
+GPU_WIDTH_PX = 3440.0
+GPU_HEIGHT_PX = 1440.0
+GPU_CENTRAL_MASS = 5_000.0
+GPU_MIN_R = 2.0
+GPU_TOTAL_SATELLITE_MASS = 25_000.0
+
+
+@dataclasses.dataclass(frozen=True)
+class SimConfig:
+    """Static (compile-time) simulation configuration.
+
+    ``capacity`` is the fixed body-slot count; the live body count is carried
+    by the ``alive`` mask in :class:`tpu_nbody.state.SimState`. The reference
+    instead resizes a MutableList + accel buffers on every scene change
+    (``src/main/kotlin/BarnesHutAlg.kt:342-349``); under XLA we keep shapes
+    static and mask.
+    """
+
+    capacity: int
+    world_w: float = WIDTH_PX
+    world_h: float = HEIGHT_PX
+    dim: int = 2
+    # Adaptive quadtree knobs (BH solver).
+    leaf_size: int = 16            # max bodies per leaf before splitting
+    max_depth: int = 14            # max tree levels below root (<=16 for 32-bit Morton)
+    node_capacity: int = 0         # 0 -> auto (derived from capacity/leaf_size)
+    group_size: int = 256          # max bodies per traversal group (tree node)
+    group_cap: int = 0             # 0 -> auto: padded group-slot count
+    # Traversal list caps (padded static shapes; engine re-derives on overflow).
+    approx_cap: int = 4096         # max accepted multipole nodes per group
+    leaf_list_cap: int = 512       # max opened leaves per group
+    direct_body_cap: int = 4096    # max direct (body-body) partners per group
+    frontier_cap: int = 2048       # max BFS frontier nodes per wave per group
+    group_chunk: int = 64          # groups evaluated per lax.map chunk (memory bound)
+    dtype: str = "float32"
+
+    @property
+    def jdtype(self):
+        return jnp.dtype(self.dtype)
+
+    @property
+    def root_half(self) -> float:
+        """Root quad half-side.
+
+        Matches the reference root sizing: half = max(W, H)/2 + 2, centered
+        at (W/2, H/2) (``src/main/kotlin/BarnesHutAlg.kt:359-362``).
+        """
+        return max(self.world_w, self.world_h) / 2.0 + 2.0
+
+    @property
+    def root_center(self) -> tuple[float, float]:
+        return (self.world_w / 2.0, self.world_h / 2.0)
+
+    @property
+    def num_nodes(self) -> int:
+        if self.node_capacity:
+            return self.node_capacity
+        # Each split spawns 4 children; with <=leaf_size bodies per leaf the
+        # practical bound is ~6*capacity/leaf_size; keep generous headroom.
+        est = 8 * max(self.capacity // self.leaf_size, 1) + 64
+        return int(est)
+
+    @property
+    def num_groups(self) -> int:
+        if self.group_cap:
+            return self.group_cap
+        return 8 * max(self.capacity // self.group_size, 1) + 64
+
+
+class Params(NamedTuple):
+    """Dynamic (traced) physics parameters — a pytree of scalars.
+
+    Mirrors the reference's live-mutable Config vars + PhysicsEngine merge
+    fields: G (``Config.kt:11``), dt (``Config.kt:14``), theta
+    (``Config.kt:23``), soft2 = SOFTENING^2 (``Config.kt:17-20``),
+    merge_max_mass / merge_min_dist (``BarnesHutAlg.kt:315-321``).
+    merge_min_dist <= 0 disables merging (``BarnesHutAlg.kt:465``).
+    """
+
+    G: jax.Array
+    dt: jax.Array
+    theta: jax.Array
+    soft2: jax.Array
+    merge_max_mass: jax.Array
+    merge_min_dist: jax.Array
+
+    @classmethod
+    def default(
+        cls,
+        G: float = G_DEFAULT,
+        dt: float = DT_DEFAULT,
+        theta: float = THETA_DEFAULT,
+        softening: float = SOFTENING_DEFAULT,
+        merge_max_mass: float = MERGE_MAX_MASS_DEFAULT,
+        merge_min_dist: float = MIN_R,
+        dtype=jnp.float32,
+    ) -> "Params":
+        f = lambda v: jnp.asarray(v, dtype)
+        return cls(
+            G=f(G),
+            dt=f(dt),
+            theta=f(theta),
+            soft2=f(softening * softening),
+            merge_max_mass=f(merge_max_mass),
+            merge_min_dist=f(merge_min_dist),
+        )
+
+    def replace(self, **kw) -> "Params":
+        return self._replace(**{k: jnp.asarray(v, self.G.dtype) for k, v in kw.items()})

@@ -1,0 +1,337 @@
+"""High-level simulation engine: the reference ``PhysicsEngine`` + panel API.
+
+Host-side orchestration only — all physics runs on device inside jitted
+step functions. Mirrors the reference public surface
+(``src/main/kotlin/BarnesHutAlg.kt:287-439``, ``NBodyPanel.kt``):
+
+=====================================  =========================================
+reference                              tpu-nbody
+=====================================  =========================================
+``PhysicsEngine(bodies)``              ``Engine(cfg, solver=..., ...)``
+``step()``                             ``engine.step(n=1)`` (n steps, one jit)
+``getBodies()``                        ``engine.state`` (SoA pytree)
+``resetBodies(list)``                  ``engine.reset(...)`` / ``set_bodies``
+``getTreeForDebug()``                  ``engine.tree_boxes()``
+``mergeMaxMass`` / ``mergeMinDist``    ``engine.params`` fields
+R-key default scene                    ``engine.reset_default_scene()``
+LMB drag: add galaxy disk              ``engine.add_galaxy_disk(...)``
+RMB drag: add "black hole"             ``engine.add_black_hole(...)``
+C key: bodies cloud                    ``engine.add_cloud(...)``
+middle click: clear                    ``engine.clear()``
+=====================================  =========================================
+
+Solvers: ``"bh"`` (flat-quadtree Barnes-Hut, the default) and ``"allpairs"``
+(exact O(N^2), Pallas on TPU — the reference GPU demo's method). Integrators:
+``"kdk"`` (literal 2-force-pass leapfrog, reference parity), ``"kdk_reuse"``
+(1 force pass/step), ``"euler"`` (GPU-demo parity).
+
+The BH traversal uses static list caps; the engine auto-retunes caps (and
+recompiles) when a step reports overflow, the moral equivalent of the
+reference growing its accel buffers in ``resetBodies``
+(``BarnesHutAlg.kt:342-349``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_nbody import state as state_lib
+from tpu_nbody.config import Params, SimConfig
+from tpu_nbody.models import scenes
+from tpu_nbody.ops import forces, integrate, tree as tree_lib, traverse
+from tpu_nbody.ops.merge import merge_bodies
+from tpu_nbody.state import SimState
+
+
+def _next_pow2(x: int) -> int:
+    return 1 << max(int(x) - 1, 1).bit_length()
+
+
+@dataclasses.dataclass
+class Caps:
+    """Runtime-tunable static caps for the BH traversal lists."""
+    approx_cap: int
+    leaf_list_cap: int
+    direct_body_cap: int
+    frontier_cap: int
+    group_cap: int
+
+    @classmethod
+    def from_config(cls, cfg: SimConfig) -> "Caps":
+        return cls(cfg.approx_cap, cfg.leaf_list_cap, cfg.direct_body_cap,
+                   cfg.frontier_cap, cfg.num_groups)
+
+    def as_dict(self):
+        return dataclasses.asdict(self)
+
+    def grown(self, stats: traverse.TraversalStats) -> "Caps":
+        """Next caps after an overflow: 2x headroom over observed need."""
+        def bump(cap, need):
+            need = int(need)
+            return max(cap, _next_pow2(2 * need)) if need > cap else cap
+        return Caps(
+            approx_cap=bump(self.approx_cap, stats.approx_need),
+            leaf_list_cap=bump(self.leaf_list_cap, stats.leaf_need),
+            direct_body_cap=bump(self.direct_body_cap, stats.direct_need),
+            frontier_cap=bump(self.frontier_cap, stats.frontier_need),
+            group_cap=bump(self.group_cap, stats.group_need),
+        )
+
+
+def make_bh_accel(cfg: SimConfig, caps: Caps, strict_parity: bool = False):
+    """accel(pos, mass, alive, params) -> (acc, stats) via Barnes-Hut."""
+    ox, oy = cfg.root_center
+    origin = (ox - cfg.root_half, oy - cfg.root_half)
+    side = 2.0 * cfg.root_half
+
+    def accel(pos, mass, alive, params):
+        mass_exert = mass
+        if strict_parity:
+            # Reference quirk: bodies outside the root quad exert no force
+            # (insert no-ops, BarnesHutAlg.kt:126) but still receive forces.
+            inside = ((pos[:, 0] >= origin[0]) & (pos[:, 0] < origin[0] + side)
+                      & (pos[:, 1] >= origin[1]) & (pos[:, 1] < origin[1] + side))
+            mass_exert = jnp.where(inside, mass, 0.0)
+        t = tree_lib.build_tree(pos, mass_exert, alive, origin, side,
+                                num_nodes=cfg.num_nodes,
+                                leaf_size=cfg.leaf_size,
+                                max_depth=cfg.max_depth)
+        return traverse.bh_accel_from_tree(
+            t, params.theta, params.soft2, params.G,
+            group_size=cfg.group_size, group_cap=caps.group_cap,
+            max_depth=cfg.max_depth, frontier_cap=caps.frontier_cap,
+            approx_cap=caps.approx_cap, leaf_list_cap=caps.leaf_list_cap,
+            direct_body_cap=caps.direct_body_cap,
+            group_chunk=cfg.group_chunk)
+
+    return accel
+
+
+def make_allpairs_accel(implementation: str = "auto"):
+    def accel(pos, mass, alive, params):
+        mass = jnp.where(alive, mass, 0.0)
+        acc = forces.accel_allpairs(pos, mass, params.G, params.soft2,
+                                    implementation=implementation)
+        return acc, None
+    return accel
+
+
+_INTEGRATORS = {
+    "kdk": integrate.kdk_step,
+    "euler": integrate.euler_step,
+}
+
+
+def make_step_fn(cfg: SimConfig, caps: Caps, solver: str, integrator: str,
+                 strict_parity: bool, merge_heavy_cap: int,
+                 allpairs_impl: str = "auto") -> Callable:
+    """Build step_n(state, params, n_steps static) -> (state, stats)."""
+    if solver == "bh":
+        accel_stats = make_bh_accel(cfg, caps, strict_parity)
+    elif solver == "allpairs":
+        accel_stats = make_allpairs_accel(allpairs_impl)
+    else:
+        raise ValueError(f"unknown solver {solver!r}")
+
+    stats_holder = []
+
+    def accel(pos, mass, alive, params):
+        acc, st = accel_stats(pos, mass, alive, params)
+        stats_holder.append(st)
+        return acc
+
+    def max_stats(a, b):
+        if a is None or b is None:
+            return a if b is None else b
+        return jax.tree.map(jnp.maximum, a, b)
+
+    if integrator in _INTEGRATORS:
+        int_step = _INTEGRATORS[integrator]
+
+        def one_step(state, params):
+            del stats_holder[:]
+            state = int_step(state, params, accel)
+            st = functools.reduce(max_stats, stats_holder, None)
+            state = merge_bodies(state, params, heavy_cap=merge_heavy_cap)
+            return state, st
+
+        @functools.partial(jax.jit, static_argnames=("n_steps",))
+        def step_n(state: SimState, params: Params, n_steps: int = 1):
+            def body(carry, _):
+                st, acc_stats = carry
+                st, s = one_step(st, params)
+                return (st, max_stats(acc_stats, s)), None
+
+            # Trace once outside scan to get the stats structure.
+            state0, st0 = one_step(state, params)
+            if n_steps == 1:
+                return state0, st0
+            (state, stf), _ = jax.lax.scan(
+                body, (state0, st0), None, length=n_steps - 1)
+            return state, stf
+
+    elif integrator == "kdk_reuse":
+
+        def one_step(state, acc, params):
+            del stats_holder[:]
+            state, acc = integrate.kdk_reuse_step(state, acc, params, accel)
+            st = functools.reduce(max_stats, stats_holder, None)
+            state = merge_bodies(state, params, heavy_cap=merge_heavy_cap)
+            return state, acc, st
+
+        @functools.partial(jax.jit, static_argnames=("n_steps",))
+        def step_n(state: SimState, params: Params, n_steps: int = 1):
+            del stats_holder[:]
+            acc0 = accel(state.pos, state.mass, state.alive, params)
+            seed_st = functools.reduce(max_stats, stats_holder, None)
+
+            state, acc, st = one_step(state, acc0, params)
+            st = max_stats(seed_st, st)
+            if n_steps > 1:
+                def body(carry, _):
+                    s, a, acc_stats = carry
+                    s, a, ss = one_step(s, a, params)
+                    return (s, a, max_stats(acc_stats, ss)), None
+                (state, acc, st), _ = jax.lax.scan(
+                    body, (state, acc, st), None, length=n_steps - 1)
+            return state, st
+
+    else:
+        raise ValueError(f"unknown integrator {integrator!r}")
+
+    return step_n
+
+
+class Engine:
+    """Interactive-grade engine with the reference's full scene API."""
+
+    def __init__(self, cfg: SimConfig, params: Params | None = None, *,
+                 solver: str = "bh", integrator: str = "kdk",
+                 strict_parity: bool = False, merge_heavy_cap: int = 64,
+                 allpairs_impl: str = "auto", seed: int = 3,
+                 auto_retune: bool = True):
+        self.cfg = cfg
+        self.params = params or Params.default()
+        self.solver = solver
+        self.integrator = integrator
+        self.strict_parity = strict_parity
+        self.merge_heavy_cap = merge_heavy_cap
+        self.allpairs_impl = allpairs_impl
+        self.auto_retune = auto_retune
+        self.caps = Caps.from_config(cfg)
+        self.key = jax.random.PRNGKey(seed)
+        self.state = state_lib.empty_state(cfg.capacity, cfg.dim, cfg.jdtype)
+        self.last_stats: traverse.TraversalStats | None = None
+        self._step_fn = None
+
+    # ------------------------------------------------------------ stepping
+    def _build_step(self):
+        self._step_fn = make_step_fn(
+            self.cfg, self.caps, self.solver, self.integrator,
+            self.strict_parity, self.merge_heavy_cap, self.allpairs_impl)
+
+    def _next_key(self):
+        self.key, sub = jax.random.split(self.key)
+        return sub
+
+    def step(self, n: int = 1):
+        """Advance ``n`` steps (one jit call). Auto-retunes caps on overflow."""
+        if self._step_fn is None:
+            self._build_step()
+        new_state, stats = self._step_fn(self.state, self.params, n_steps=n)
+        if stats is not None:
+            stats = jax.tree.map(lambda x: np.asarray(x), stats)
+            self.last_stats = stats
+            # Overflow means interactions were dropped: retune caps and redo
+            # from the pre-step state. Iterate — a truncated frontier hides
+            # deeper-level needs, so one growth round may reveal more.
+            rounds = 0
+            while (self.auto_retune and rounds < 6
+                   and bool(stats.overflowed(self.caps.as_dict()))):
+                grown = self.caps.grown(stats)
+                if grown == self.caps:
+                    break
+                self.caps = grown
+                self._build_step()
+                new_state, stats = self._step_fn(
+                    self.state, self.params, n_steps=n)
+                stats = jax.tree.map(np.asarray, stats)
+                self.last_stats = stats
+                rounds += 1
+        self.state = new_state
+        return self.state
+
+    # --------------------------------------------------------- scene edits
+    def set_bodies(self, pos, vel, mass):
+        self.state = state_lib.from_arrays(pos, vel, mass, self.cfg.capacity)
+
+    def add_bodies(self, pos, vel, mass):
+        self.state = state_lib.concat_bodies(self.state, pos, vel, mass)
+
+    def clear(self):
+        self.state = state_lib.clear(self.state)
+
+    def reset_default_scene(self, n1: int = 10_000, n2: int = 2_500):
+        p, v, m = scenes.default_two_disk_scene(
+            self._next_key(), n1=n1, n2=n2, world_w=self.cfg.world_w,
+            world_h=self.cfg.world_h, G=float(self.params.G),
+            dtype=self.cfg.jdtype)
+        self.set_bodies(p, v, m)
+
+    def add_galaxy_disk(self, x, y, r=None, n=None, vx=0.0, vy=0.0, **kw):
+        """LMB drag equivalent (``NBodyPanel.kt:170,228-234``)."""
+        r = 100.0 if r is None else float(r)
+        n = 5_000 if n is None else n
+        p, v, m = scenes.make_galaxy_disk(
+            self._next_key(), n, x=x, y=y, r=r, vx=vx, vy=vy,
+            G=float(self.params.G), world_w=self.cfg.world_w,
+            world_h=self.cfg.world_h, dtype=self.cfg.jdtype, **kw)
+        self.add_bodies(p, v, m)
+
+    def add_kepler_disk(self, x, y, r=None, n=5_000, vx=0.0, vy=0.0, **kw):
+        p, v, m = scenes.make_kepler_disk(
+            self._next_key(), n, x=x, y=y, r=r, vx=vx, vy=vy,
+            G=float(self.params.G), world_w=self.cfg.world_w,
+            world_h=self.cfg.world_h, dtype=self.cfg.jdtype, **kw)
+        self.add_bodies(p, v, m)
+
+    def add_black_hole(self, x, y, vx=0.0, vy=0.0, mass=None):
+        """RMB drag: a galaxy "disk" with zero satellites — one body of
+        CENTRAL_MASS (``NBodyPanel.kt:171``), which feeds the merge rule."""
+        from tpu_nbody.config import CENTRAL_MASS
+        m = CENTRAL_MASS if mass is None else mass
+        self.add_bodies(jnp.asarray([[x, y]], self.cfg.jdtype),
+                        jnp.asarray([[vx, vy]], self.cfg.jdtype),
+                        jnp.asarray([m], self.cfg.jdtype))
+
+    def add_cloud(self, n: int = 5_000, m: float = 0.5):
+        """C key (``NBodyPanel.kt:282-286``)."""
+        p, v, mm = scenes.make_uniform_cloud(
+            self._next_key(), n, m, world_w=self.cfg.world_w,
+            world_h=self.cfg.world_h, dtype=self.cfg.jdtype)
+        self.add_bodies(p, v, mm)
+
+    # -------------------------------------------------------------- debug
+    def tree_boxes(self):
+        """Quad outlines for the D-key debug overlay (numpy arrays)."""
+        ox, oy = self.cfg.root_center
+        origin = (ox - self.cfg.root_half, oy - self.cfg.root_half)
+        t = tree_lib.build_tree(
+            self.state.pos, jnp.where(self.state.alive, self.state.mass, 0.0),
+            self.state.alive, origin, 2.0 * self.cfg.root_half,
+            num_nodes=self.cfg.num_nodes, leaf_size=self.cfg.leaf_size,
+            max_depth=self.cfg.max_depth)
+        center, side, valid = tree_lib.debug_boxes(t)
+        v = np.asarray(valid)
+        return np.asarray(center)[v], np.asarray(side)[v]
+
+    def stats(self):
+        from tpu_nbody.ops import diagnostics
+        return jax.tree.map(np.asarray,
+                            diagnostics.stats(self.state, self.params))

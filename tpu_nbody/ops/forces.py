@@ -1,0 +1,160 @@
+"""Exact O(N^2) all-pairs gravity — Pallas TPU kernel + XLA fallback.
+
+TPU-native counterpart of the reference's GLSL compute shader
+(``src/main/kotlin/gpu/GPU.kt:101-152``): the shader stages 256-body tiles of
+(pos, mass) into workgroup shared memory and sweeps each thread's body over
+the tile. Here the same dataflow maps onto Pallas: the grid tiles the (i, j)
+pair space, j-tiles stream through VMEM, and a (TI, TJ) pair block is
+evaluated per grid step with the output accumulated across the j axis of the
+grid. Works for dim=2 (CPU-path physics, ``BarnesHutAlg.kt:250-259``) and
+dim=3 (GPU-path physics) — the force law is identical:
+
+    a_i += G * m_j * (p_j - p_i) / (|p_j - p_i|^2 + eps^2)^(3/2)
+
+Note the softening enters as ``+ eps^2`` inside r^2 exactly as in both
+reference kernels (``BarnesHutAlg.kt:253``, ``gpu/GPU.kt:139``). Self- and
+dead-body interactions contribute exactly zero (dx = 0 / mass = 0), matching
+the reference's identity/index skip checks.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+try:  # pltpu only resolves on TPU builds; tests run on CPU.
+    from jax.experimental.pallas import tpu as pltpu
+except ImportError:  # pragma: no cover
+    pltpu = None
+
+TILE_I = 256
+TILE_J = 512
+
+
+def _round_up(n: int, m: int) -> int:
+    return -(-n // m) * m
+
+
+def _allpairs_kernel(params_ref, *refs, dim: int):
+    """Pallas kernel body. refs = (i coords..., mi, j coords..., mj, out...)."""
+    ci = refs[:dim]
+    cj = refs[dim + 1:2 * dim + 1]
+    mj = refs[2 * dim + 1]
+    outs = refs[2 * dim + 2:]
+    soft2 = params_ref[0, 0]
+
+    mjr = mj[:].reshape(1, -1)
+    d = [cj[k][:].reshape(1, -1) - ci[k][:].reshape(-1, 1) for k in range(dim)]
+    r2 = soft2
+    for k in range(dim):
+        r2 = r2 + d[k] * d[k]
+    inv_r = jax.lax.rsqrt(r2)
+    w = mjr * inv_r / r2
+
+    first = pl.program_id(1) == 0
+    for k in range(dim):
+        part = jnp.sum(w * d[k], axis=1)
+
+        @pl.when(first)
+        def _(out=outs[k]):
+            out[:] = jnp.zeros_like(out)
+
+        outs[k][:] += part
+
+
+@functools.partial(jax.jit, static_argnames=("dim",))
+def _allpairs_pallas(coords_i, m, soft2, dim):
+    n = coords_i[0].shape[0]
+    grid = (n // TILE_I, n // TILE_J)
+    bi = pl.BlockSpec((TILE_I,), lambda i, j: (i,))
+    bj = pl.BlockSpec((TILE_J,), lambda i, j: (j,))
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    in_specs = [smem] + [bi] * (dim + 1) + [bj] * (dim + 1)
+    out_specs = tuple([bi] * dim)
+    out_shape = tuple(jax.ShapeDtypeStruct((n,), coords_i[0].dtype)
+                      for _ in range(dim))
+    params = jnp.asarray([[soft2]], coords_i[0].dtype)
+    return pl.pallas_call(
+        functools.partial(_allpairs_kernel, dim=dim),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+    )(params, *coords_i, m, *coords_i, m)
+
+
+def _accel_xla(pos, mass, G, soft2, chunk=2048):
+    """Chunked XLA fallback (used on CPU and as the test reference)."""
+    n, dim = pos.shape
+    npad = _round_up(n, chunk)
+    posp = jnp.zeros((npad, dim), pos.dtype).at[:n].set(pos)
+    massp = jnp.zeros((npad,), mass.dtype).at[:n].set(mass)
+
+    def one_chunk(p_chunk):
+        d = posp[None, :, :] - p_chunk[:, None, :]          # (C, N, dim)
+        r2 = jnp.sum(d * d, axis=-1) + soft2
+        inv_r = jax.lax.rsqrt(r2)
+        w = massp[None, :] * inv_r / r2
+        return jnp.einsum("cn,cnd->cd", w, d)
+
+    chunks = posp.reshape(npad // chunk, chunk, dim)
+    acc = jax.lax.map(one_chunk, chunks).reshape(npad, dim)
+    return G * acc[:n]
+
+
+def accel_allpairs(pos, mass, G, soft2, *, implementation: str = "auto"):
+    """Exact all-pairs acceleration, (n, dim) -> (n, dim).
+
+    ``implementation``: "pallas" (TPU kernel), "xla" (chunked einsum), or
+    "auto" (pallas on TPU backends, xla elsewhere).
+    """
+    if implementation == "auto":
+        on_tpu = pltpu is not None and jax.default_backend() not in ("cpu", "gpu")
+        implementation = "pallas" if on_tpu else "xla"
+    if implementation == "xla":
+        return _accel_xla(pos, mass, G, soft2)
+
+    n, dim = pos.shape
+    npad = _round_up(n, max(TILE_I, TILE_J))  # TILE_I divides TILE_J
+    posp = jnp.zeros((npad, dim), pos.dtype).at[:n].set(pos)
+    massp = jnp.zeros((npad,), mass.dtype).at[:n].set(mass)
+    coords = [posp[:, k] for k in range(dim)]
+    outs = _allpairs_pallas(tuple(coords), massp, soft2, dim)
+    acc = jnp.stack(outs, axis=-1)[:n]
+    return G * acc
+
+
+def potential_energy(pos, mass, G, soft2, chunk=1024):
+    """Total softened potential energy, consistent with the force law.
+
+    The reference force magnitude is f(r) = G m M / (r^2 + eps^2), whose
+    potential is U(r) = -G m M (pi/2 - atan(r/eps)) / eps (for eps > 0).
+    Used by the energy-drift harness; the reference itself has no energy
+    diagnostics (SURVEY §5.5).
+    """
+    n, dim = pos.shape
+    npad = _round_up(n, chunk)
+    posp = jnp.zeros((npad, dim), pos.dtype).at[:n].set(pos)
+    massp = jnp.zeros((npad,), mass.dtype).at[:n].set(mass)
+    eps = jnp.sqrt(soft2)
+    idx = jnp.arange(npad)
+
+    def one_chunk(args):
+        p_chunk, m_chunk, i_chunk = args
+        d = posp[None, :, :] - p_chunk[:, None, :]
+        r = jnp.sqrt(jnp.sum(d * d, axis=-1))
+        u = jnp.where(
+            soft2 > 0,
+            -(jnp.pi / 2 - jnp.arctan2(r, eps)) / jnp.maximum(eps, 1e-30),
+            -1.0 / jnp.maximum(r, 1e-30),
+        )
+        pair = m_chunk[:, None] * massp[None, :] * u
+        self_mask = i_chunk[:, None] == idx[None, :]
+        return jnp.sum(jnp.where(self_mask, 0.0, pair))
+
+    chunks = (posp.reshape(-1, chunk, dim), massp.reshape(-1, chunk),
+              idx.reshape(-1, chunk))
+    return 0.5 * G * jnp.sum(jax.lax.map(one_chunk, chunks))

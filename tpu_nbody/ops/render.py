@@ -1,0 +1,107 @@
+"""On-device point-splat rendering.
+
+Replaces both reference render paths with a device-side scatter into an RGB
+framebuffer; only the final image crosses to the host (the reference GPU demo
+reads back ALL per-body data every frame, ``src/main/kotlin/gpu/GPU.kt:390-411``
+— the BASELINE north star explicitly forbids that pattern).
+
+Color modes:
+
+* ``"classic"`` — the Swing panel's scheme (``NBodyPanel.kt:302-307``):
+  1px points, white for m < 1000, black for m >= 1000, on black background.
+* ``"speed"`` — the GPU fragment shader's speed ramp
+  (``gpu/GPU.kt:241-257``): t = clamp(|v| * speed_scale, 0, 1) * 5, colors
+  mixed toward white with W = 0.77: white -> cyan (smoothstep 0..0.5) ->
+  purple (smoothstep 0.5..1). Default speed_scale = 1/10000
+  (``gpu/GPU.kt:454``).
+
+The world->screen transform matches the panel viewport
+(``NBodyPanel.kt:68-73``): screen = (world - view) * zoom. Splats accumulate
+additively and saturate, which reads like the reference's overdrawn points.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def _smoothstep(e0, e1, x):
+    t = jnp.clip((x - e0) / (e1 - e0), 0.0, 1.0)
+    return t * t * (3.0 - 2.0 * t)
+
+
+def speed_colors(vel, speed_scale=1.0 / 10_000.0):
+    """Per-body RGB from the GPU shader's white->cyan->purple ramp."""
+    sp = jnp.linalg.norm(vel, axis=-1)
+    t = jnp.clip(sp * speed_scale, 0.0, 1.0) * 5.0
+    W = 0.77
+    white = jnp.asarray([1.0, 1.0, 1.0])
+    mid = white * W + jnp.asarray([0.0, 1.0, 1.0]) * (1.0 - W)
+    fast = white * W + jnp.asarray([0.65, 0.0, 0.95]) * (1.0 - W)
+    s1 = _smoothstep(0.0, 0.5, t)[:, None]
+    s2 = _smoothstep(0.5, 1.0, t)[:, None]
+    return (white * (1 - s1) + mid * s1) * (1 - s2) + fast * s2
+
+
+def classic_colors(mass):
+    """Swing panel scheme: white below mass 1000, black at/above."""
+    heavy = (mass >= 1000.0)[:, None]
+    return jnp.where(heavy, jnp.zeros(3), jnp.ones(3))
+
+
+@functools.partial(jax.jit, static_argnames=("width", "height", "mode"))
+def render_frame(pos, vel, mass, alive, *, width: int, height: int,
+                 view_x=0.0, view_y=0.0, zoom=1.0, mode: str = "speed",
+                 speed_scale=1.0 / 10_000.0, gain=1.0):
+    """Splat bodies into an (height, width, 3) float [0,1] framebuffer."""
+    sx = (pos[:, 0] - view_x) * zoom
+    sy = (pos[:, 1] - view_y) * zoom
+    ix = jnp.floor(sx).astype(jnp.int32)
+    iy = jnp.floor(sy).astype(jnp.int32)
+    on = alive & (ix >= 0) & (ix < width) & (iy >= 0) & (iy < height)
+    lin = jnp.where(on, iy * width + ix, width * height)
+
+    if mode == "speed":
+        col = speed_colors(vel, speed_scale)
+    elif mode == "classic":
+        col = classic_colors(mass)
+    else:
+        raise ValueError(f"unknown color mode {mode!r}")
+    col = col * gain * on[:, None].astype(col.dtype)
+
+    fb = jnp.zeros((width * height + 1, 3), col.dtype)
+    fb = fb.at[lin].add(col)
+    return jnp.clip(fb[:-1].reshape(height, width, 3), 0.0, 1.0)
+
+
+def render_frame_3d(pos, vel, mass, alive, *, width: int, height: int,
+                    cam_angle=0.0, cam_pitch=0.2617994, center=None,
+                    speed_scale=1.0 / 10_000.0, gain=1.0):
+    """GPU-demo camera: translate to COM, yaw, fixed 15deg pitch, project.
+
+    Mirrors the vertex shader (``gpu/GPU.kt:200-230``): screen x = pr.x /
+    (W/2), y = -pr.y / (H/2); here mapped to pixels.
+    """
+    if center is None:
+        m = jnp.sum(jnp.where(alive, mass, 0.0))
+        center = jnp.sum(jnp.where(alive, mass, 0.0)[:, None] * pos, 0) / jnp.maximum(m, 1e-30)
+    q = pos - center
+    ca, sa = jnp.cos(cam_angle), jnp.sin(cam_angle)
+    rx = ca * q[:, 0] + sa * q[:, 2]
+    ry = q[:, 1]
+    rz = -sa * q[:, 0] + ca * q[:, 2]
+    cp, sp = jnp.cos(cam_pitch), jnp.sin(cam_pitch)
+    py = cp * ry - sp * rz
+    # NDC -> pixels
+    sx = (rx / (width * 0.5) + 1.0) * 0.5 * width
+    sy = (-py / (height * 0.5) + 1.0) * 0.5 * height
+    pos2 = jnp.stack([sx, sy], axis=-1)
+    return render_frame(pos2, vel, mass, alive, width=width, height=height,
+                        mode="speed", speed_scale=speed_scale, gain=gain)
+
+
+def to_uint8(fb):
+    return (jnp.clip(fb, 0.0, 1.0) * 255.0 + 0.5).astype(jnp.uint8)

@@ -1,0 +1,279 @@
+"""Vectorized Barnes-Hut MAC traversal + blocked force evaluation.
+
+Replaces the reference's per-body recursive traversal
+(``BHTree.accumulateForce``, ``src/main/kotlin/BarnesHutAlg.kt:215-239``)
+with a TPU-shaped scheme:
+
+* Bodies are grouped by TREE NODE: a group is a maximal node holding at most
+  ``group_size`` bodies (its parent holds more). Groups partition the
+  Hilbert-sorted body array into contiguous ranges AND are spatially compact
+  squares by construction. The group MAC box is the tight AABB of the
+  group's members.
+
+* Each group runs a breadth-first wave traversal over the flat tree: all
+  groups advance in lockstep (vmapped waves, statically unrolled — no
+  ``lax.while`` wrapping, which XLA lowers poorly around gather/scatter
+  compositions on TPU). Per wave the whole frontier is tested at once
+  against the group box with the conservative group MAC:
+
+      accept node  <=>  s^2 < theta^2 * (d_box^2 + eps^2)  and  d_box > 0
+
+  where s is the node cell side and d_box the min distance from the node's
+  cell box to the group box. Every body in the group is inside the group box
+  and the node's COM is inside its cell, so d_box <= d_com: every accepted
+  interaction also satisfies the reference's per-body criterion
+  s^2 < theta^2 * (d_com^2 + eps^2) (``BarnesHutAlg.kt:225-228`` — note the
+  softening inside the criterion distance, reproduced here). The extra
+  ``d_box > 0`` keeps a group's own (and touching) cells opened so
+  self-interaction is excluded exactly, like the ``single === b`` identity
+  check (``BarnesHutAlg.kt:219``).
+
+* Accepted nodes append to a per-group approx (multipole) list; rejected
+  leaves append to a direct list whose body ranges are flattened into a
+  padded partner array; rejected internal nodes push their 1-4 occupied
+  children into the next frontier via gather-based expansion (searchsorted
+  over the child-count cumsum — the inverse of a scatter). All lists are
+  fixed-capacity; per-group *needed* sizes are returned so the engine can
+  re-derive caps on overflow instead of silently dropping interactions.
+
+* Force evaluation is dense and blocked: (group_size x approx_cap) and
+  (group_size x direct_cap) pair blocks with the reference point-mass kernel
+  a += m_src * d * r^-3, r^2 = |d|^2 + eps^2 (``BarnesHutAlg.kt:250-259``).
+  Self-pairs and padding contribute exactly zero (d = 0 / mass = 0). Groups
+  stream through ``lax.map`` chunks to bound working-set memory; the chunked
+  body is pure gather + arithmetic.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from tpu_nbody.ops.tree import Tree
+
+
+class TraversalStats(NamedTuple):
+    """Max per-group list sizes actually needed (for cap auto-tuning)."""
+    approx_need: jax.Array
+    leaf_need: jax.Array
+    direct_need: jax.Array
+    frontier_need: jax.Array
+    group_need: jax.Array      # number of groups actually formed
+    node_saturated: jax.Array  # bool: tree node table filled up
+
+    def overflowed(self, caps) -> jax.Array:
+        return ((self.approx_need > caps["approx_cap"])
+                | (self.leaf_need > caps["leaf_list_cap"])
+                | (self.direct_need > caps["direct_body_cap"])
+                | (self.frontier_need > caps["frontier_cap"])
+                | (self.group_need > caps["group_cap"])
+                | self.node_saturated)
+
+
+def make_groups(tree: Tree, group_size: int, group_cap: int):
+    """Traversal groups = maximal small tree nodes (<= group_size bodies,
+    parent bigger; the root qualifies when small). Returns group body ranges
+    sorted by start, so groups tile the sorted body array in order."""
+    NC = tree.code.shape[0]
+    cap = tree.spos.shape[0]
+    ids = jnp.arange(NC, dtype=jnp.int32)
+    valid = ids < tree.n_nodes
+    pcnt = jnp.where(tree.parent >= 0, tree.count[jnp.maximum(tree.parent, 0)],
+                     jnp.iinfo(jnp.int32).max)
+    is_group = valid & (tree.count > 0) & (tree.count <= group_size) \
+        & (pcnt > group_size)
+    n_groups = jnp.sum(is_group.astype(jnp.int32))
+
+    start_key = jnp.where(is_group, tree.start, cap + 1)
+    order = jnp.argsort(start_key)[:group_cap]
+    gvalid = is_group[order]
+    gstart = jnp.where(gvalid, tree.start[order], cap)
+    gcount = jnp.where(gvalid, tree.count[order], 0)
+    return gvalid, gstart, gcount, n_groups
+
+
+def _traverse_all(tree: Tree, gmin, gmax, gvalid, theta2, soft2, *,
+                  max_depth, frontier_cap, approx_cap, leaf_list_cap):
+    """Lockstep BFS over all groups. gmin/gmax: (G, 2). Returns per-group
+    approx/leaf index lists + needed sizes. Waves are python-unrolled."""
+    G = gvalid.shape[0]
+    F, A, L = frontier_cap, approx_cap, leaf_list_cap
+    slot = jnp.arange(F, dtype=jnp.int32)[None, :]          # (1, F)
+
+    frontier = jnp.zeros((G, F), jnp.int32)
+    f_len = jnp.where(gvalid, 1, 0).astype(jnp.int32)       # (G,)
+    approx = jnp.zeros((G, A), jnp.int32)
+    a_len = jnp.zeros((G,), jnp.int32)
+    leaves = jnp.zeros((G, L), jnp.int32)
+    l_len = jnp.zeros((G,), jnp.int32)
+    f_need = f_len
+
+    def append(buf, length, take, values, cap_):
+        # (G, F) take/values -> compacted append at per-group offsets.
+        pos = length[:, None] + jnp.cumsum(take.astype(jnp.int32), axis=1) - 1
+        tgt = jnp.where(take & (pos < cap_), pos, cap_)
+        buf = jax.vmap(lambda b, t, v: b.at[t].set(v, mode="drop"))(
+            buf, tgt, values)
+        return buf, length + jnp.sum(take.astype(jnp.int32), axis=1)
+
+    for _ in range(max_depth + 1):
+        active = slot < f_len[:, None]                       # (G, F)
+        nid = jnp.where(active, frontier, 0)
+        nonempty = active & (tree.mass[nid] > 0)
+        center, side = tree.cell_geometry(nid)               # (G,F,2), (G,F)
+        half = 0.5 * side[..., None]
+        gap = jnp.maximum(0.0, jnp.maximum(
+            (center - half) - gmax[:, None, :],
+            gmin[:, None, :] - (center + half)))
+        d2 = jnp.sum(gap * gap, axis=-1)
+        accept = (side * side < theta2 * (d2 + soft2)) & (d2 > 0)
+        is_leaf = tree.child[nid] < 0
+
+        take_a = nonempty & accept
+        take_l = nonempty & ~accept & is_leaf
+        take_o = nonempty & ~accept & ~is_leaf
+
+        approx, a_len = append(approx, a_len, take_a, nid, A)
+        leaves, l_len = append(leaves, l_len, take_l, nid, L)
+
+        # Gather-based frontier expansion: opened nodes contribute their
+        # 1-4 occupied children, compacted via the child-count cumsum.
+        nc = jnp.where(take_o, tree.n_children[nid], 0)      # (G, F)
+        cum = jnp.cumsum(nc, axis=1)
+        total = cum[:, -1]
+        r = jax.vmap(lambda c: jnp.searchsorted(c, slot[0] + 1,
+                                                side="left"))(cum)
+        r = jnp.clip(r, 0, F - 1).astype(jnp.int32)
+        before = jnp.where(r > 0,
+                           jnp.take_along_axis(cum, jnp.maximum(r - 1, 0),
+                                               axis=1), 0)
+        src = jnp.take_along_axis(nid, r, axis=1)
+        child0 = tree.child[src]
+        nxt = child0 + (slot - before)
+        f_need = jnp.maximum(f_need, total)
+        f_len = jnp.minimum(total, F)
+        frontier = jnp.where(slot < f_len[:, None], nxt, 0)
+
+    return approx, a_len, leaves, l_len, f_need
+
+
+def _direct_partners_all(tree: Tree, leaves, l_len, *, direct_body_cap):
+    """Flatten per-group leaf body ranges into padded partner-slot arrays."""
+    G, L = leaves.shape
+    DB = direct_body_cap
+    lvalid = jnp.arange(L, dtype=jnp.int32)[None, :] < l_len[:, None]
+    lidx = jnp.where(lvalid, leaves, 0)
+    counts = jnp.where(lvalid, tree.count[lidx], 0)
+    offs = jnp.cumsum(counts, axis=1)
+    total = offs[:, -1]
+    jj = jnp.arange(DB, dtype=jnp.int32)
+    leaf_k = jax.vmap(lambda o: jnp.searchsorted(o, jj, side="right"))(offs)
+    leaf_k = jnp.clip(leaf_k, 0, L - 1).astype(jnp.int32)
+    prev = jnp.where(leaf_k > 0,
+                     jnp.take_along_axis(offs, jnp.maximum(leaf_k - 1, 0),
+                                         axis=1), 0)
+    lsel = jnp.take_along_axis(lidx, leaf_k, axis=1)
+    slots = tree.start[lsel] + (jj[None, :] - prev)
+    valid = jj[None, :] < jnp.minimum(total, DB)[:, None]
+    return jnp.where(valid, slots, 0), valid, total
+
+
+def _point_accel(bpos, src_pos, src_mass, soft2):
+    """Blocked point-mass kernel: sum_j m_j * d_ij * r_ij^-3 (no G)."""
+    dx = src_pos[None, :, 0] - bpos[:, None, 0]
+    dy = src_pos[None, :, 1] - bpos[:, None, 1]
+    r2 = dx * dx + dy * dy + soft2
+    w = src_mass[None, :] * jax.lax.rsqrt(r2) / r2
+    return jnp.stack([jnp.sum(w * dx, axis=1), jnp.sum(w * dy, axis=1)], -1)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("group_size", "group_cap", "max_depth", "frontier_cap",
+                     "approx_cap", "leaf_list_cap", "direct_body_cap",
+                     "group_chunk"))
+def bh_accel_from_tree(tree: Tree, theta, soft2, G, *, group_size: int,
+                       group_cap: int, max_depth: int, frontier_cap: int,
+                       approx_cap: int, leaf_list_cap: int,
+                       direct_body_cap: int, group_chunk: int):
+    """BH accelerations for all bodies; returns (acc, stats).
+
+    ``acc`` is in ORIGINAL body order.
+    """
+    cap, _ = tree.spos.shape
+    GS = group_size
+    theta2 = theta * theta
+    NC = tree.code.shape[0]
+    group_cap = min(group_cap, NC)  # at most one group per node
+    spos = tree.spos
+
+    gvalid, gstart, gcount, n_groups = make_groups(tree, GS, group_cap)
+
+    # Group AABBs from contiguous body slices (gather; no segment scatter).
+    def aabb(gs, gc, gv):
+        sl0 = jnp.clip(gs, 0, cap - GS)
+        bpos = jax.lax.dynamic_slice_in_dim(spos, sl0, GS, 0)
+        row_slot = sl0 + jnp.arange(GS, dtype=jnp.int32)
+        rv = gv & (row_slot >= gs) & (row_slot < gs + gc)
+        big = jnp.asarray(jnp.finfo(spos.dtype).max, spos.dtype)
+        mn = jnp.min(jnp.where(rv[:, None], bpos, big), axis=0)
+        mx = jnp.max(jnp.where(rv[:, None], bpos, -big), axis=0)
+        return mn, mx
+
+    gmin, gmax = jax.vmap(aabb)(gstart, gcount, gvalid)
+
+    approx, a_len, leaves, l_len, f_need = _traverse_all(
+        tree, gmin, gmax, gvalid, theta2, soft2, max_depth=max_depth,
+        frontier_cap=frontier_cap, approx_cap=approx_cap,
+        leaf_list_cap=leaf_list_cap)
+    pslots, pvalid, d_need = _direct_partners_all(
+        tree, leaves, l_len, direct_body_cap=direct_body_cap)
+
+    # ---- force evaluation, chunked over groups (pure gather + math) ----
+    def one_group(gs, gc, gv, apx, al, psl, pv):
+        sl0 = jnp.clip(gs, 0, cap - GS)
+        bpos = jax.lax.dynamic_slice_in_dim(spos, sl0, GS, 0)
+        avalid = jnp.arange(apx.shape[0], dtype=jnp.int32) < al
+        aidx = jnp.where(avalid, apx, 0)
+        acc = _point_accel(bpos, tree.com[aidx],
+                           jnp.where(avalid, tree.mass[aidx], 0.0), soft2)
+        acc = acc + _point_accel(bpos, tree.spos[psl],
+                                 jnp.where(pv, tree.smass[psl], 0.0), soft2)
+        return jnp.where(gv, 1.0, 0.0) * acc
+
+    n_chunks = -(-group_cap // group_chunk)
+    pad = n_chunks * group_chunk
+
+    def pad_to(x, fill):
+        return jnp.concatenate(
+            [x, jnp.full((pad - group_cap,) + x.shape[1:], fill, x.dtype)])
+
+    args = (pad_to(gstart, cap), pad_to(gcount, 0), pad_to(gvalid, False),
+            pad_to(approx, 0), pad_to(a_len, 0), pad_to(pslots, 0),
+            pad_to(pvalid, False))
+    args = jax.tree.map(
+        lambda x: x.reshape((n_chunks, group_chunk) + x.shape[1:]), args)
+    acc_c = jax.lax.map(lambda a: jax.vmap(one_group)(*a), args)
+    acc_rows = acc_c.reshape(pad, GS, 2)
+
+    # ---- scatter-free assembly: sorted slot -> (group, row) -> orig ----
+    s = jnp.arange(cap, dtype=jnp.int32)
+    g_of_s = jnp.clip(jnp.searchsorted(gstart, s, side="right") - 1,
+                      0, group_cap - 1).astype(jnp.int32)
+    sl0 = jnp.clip(gstart[g_of_s], 0, cap - GS)
+    row = s - sl0
+    in_range = (row >= 0) & (row < GS) & (s < tree.n_alive)
+    acc_sorted = acc_rows[g_of_s, jnp.clip(row, 0, GS - 1)]
+    acc_sorted = jnp.where(in_range[:, None], acc_sorted, 0.0)
+    acc = acc_sorted[tree.unsort]
+
+    maxes = (jnp.max(a_len), jnp.max(l_len), jnp.max(d_need),
+             jnp.max(f_need))
+    stats = TraversalStats(
+        approx_need=maxes[0], leaf_need=maxes[1], direct_need=maxes[2],
+        frontier_need=maxes[3], group_need=n_groups,
+        node_saturated=tree.n_nodes >= NC)
+    return G * acc, stats
