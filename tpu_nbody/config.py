@@ -75,6 +75,11 @@ class SimConfig:
     direct_body_cap: int = 4096    # max direct (body-body) partners per group
     frontier_cap: int = 2048       # max BFS frontier nodes per wave per group
     group_chunk: int = 64          # groups evaluated per lax.map chunk (memory bound)
+    # P3M ("pm") solver knobs.
+    mesh_level: int = 11           # world grid = 2^level per side over the root
+    mesh_split: float = 2.5        # short/long split radius in cell units
+    mesh_band: int = 128           # Hilbert-order half-window for F_short
+    mesh_chunk: int = 131072       # bodies per band-window chunk
     dtype: str = "float32"
 
     @property

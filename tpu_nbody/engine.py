@@ -44,7 +44,7 @@ import numpy as np
 from tpu_nbody import state as state_lib
 from tpu_nbody.config import Params, SimConfig
 from tpu_nbody.models import scenes
-from tpu_nbody.ops import forces, integrate, tree as tree_lib, traverse
+from tpu_nbody.ops import forces, integrate, mesh as mesh_lib, tree as tree_lib, traverse
 from tpu_nbody.ops.merge import merge_bodies
 from tpu_nbody.state import SimState
 
@@ -113,6 +113,21 @@ def make_bh_accel(cfg: SimConfig, caps: Caps, strict_parity: bool = False):
     return accel
 
 
+def make_pm_accel(cfg: SimConfig):
+    """accel via the P3M mesh solver (see tpu_nbody.ops.mesh)."""
+    ox, oy = cfg.root_center
+    origin = (ox - cfg.root_half, oy - cfg.root_half)
+    side = 2.0 * cfg.root_half
+
+    def accel(pos, mass, alive, params):
+        acc = mesh_lib.pm_accel(
+            pos, mass, alive, params.G, params.soft2, origin, side,
+            mesh_level=cfg.mesh_level, split_cells=cfg.mesh_split,
+            band=cfg.mesh_band, chunk=min(cfg.mesh_chunk, cfg.capacity))
+        return acc, None
+    return accel
+
+
 def make_allpairs_accel(implementation: str = "auto"):
     def accel(pos, mass, alive, params):
         mass = jnp.where(alive, mass, 0.0)
@@ -136,6 +151,8 @@ def make_step_fn(cfg: SimConfig, caps: Caps, solver: str, integrator: str,
         accel_stats = make_bh_accel(cfg, caps, strict_parity)
     elif solver == "allpairs":
         accel_stats = make_allpairs_accel(allpairs_impl)
+    elif solver == "pm":
+        accel_stats = make_pm_accel(cfg)
     else:
         raise ValueError(f"unknown solver {solver!r}")
 

@@ -30,8 +30,14 @@ try:  # pltpu only resolves on TPU builds; tests run on CPU.
 except ImportError:  # pragma: no cover
     pltpu = None
 
-TILE_I = 256
-TILE_J = 512
+# TPU f32 1D arrays have layout T(1024): Pallas block sizes must be 1024
+# multiples (this backend's Mosaic rejects smaller 1D blocks and 1D ref
+# sub-slices). The (TILE_I x TILE_J) pair block would blow VMEM at full
+# 1024x1024, so the kernel keeps the whole i block as a column and sweeps j
+# in (1, SUB) row sub-tiles (pair temporaries are TILE_I x SUB = 512 KB).
+TILE_I = 1024
+TILE_J = 1024
+SUB = 128
 
 
 def _round_up(n: int, m: int) -> int:
@@ -46,23 +52,28 @@ def _allpairs_kernel(params_ref, *refs, dim: int):
     outs = refs[2 * dim + 2:]
     soft2 = params_ref[0, 0]
 
-    mjr = mj[:].reshape(1, -1)
-    d = [cj[k][:].reshape(1, -1) - ci[k][:].reshape(-1, 1) for k in range(dim)]
-    r2 = soft2
-    for k in range(dim):
-        r2 = r2 + d[k] * d[k]
-    inv_r = jax.lax.rsqrt(r2)
-    w = mjr * inv_r / r2
+    cols = [ci[k][:].reshape(TILE_I, 1) for k in range(dim)]
+    mj2d = mj[:].reshape(TILE_J // SUB, SUB)
+    cj2d = [cj[k][:].reshape(TILE_J // SUB, SUB) for k in range(dim)]
+
+    acc = [jnp.zeros((TILE_I,), cols[0].dtype) for _ in range(dim)]
+    for c in range(TILE_J // SUB):
+        d = [cj2d[k][c].reshape(1, SUB) - cols[k] for k in range(dim)]
+        r2 = soft2
+        for k in range(dim):
+            r2 = r2 + d[k] * d[k]
+        inv_r = jax.lax.rsqrt(r2)
+        w = mj2d[c].reshape(1, SUB) * inv_r / r2
+        for k in range(dim):
+            acc[k] = acc[k] + jnp.sum(w * d[k], axis=1)
 
     first = pl.program_id(1) == 0
     for k in range(dim):
-        part = jnp.sum(w * d[k], axis=1)
-
         @pl.when(first)
         def _(out=outs[k]):
             out[:] = jnp.zeros_like(out)
 
-        outs[k][:] += part
+        outs[k][:] += acc[k]
 
 
 @functools.partial(jax.jit, static_argnames=("dim",))
@@ -108,12 +119,14 @@ def _accel_xla(pos, mass, G, soft2, chunk=2048):
 def accel_allpairs(pos, mass, G, soft2, *, implementation: str = "auto"):
     """Exact all-pairs acceleration, (n, dim) -> (n, dim).
 
-    ``implementation``: "pallas" (TPU kernel), "xla" (chunked einsum), or
-    "auto" (pallas on TPU backends, xla elsewhere).
+    ``implementation``: "pallas" (hand-written TPU kernel), "xla" (chunked
+    einsum), or "auto". Auto currently selects "xla" everywhere: on the
+    available TPU backend XLA's fused einsum formulation (r^2 row reduction +
+    MXU matvec accumulate) measured ~5x faster than the Pallas kernel, which
+    remains available and numerically identical (see tests).
     """
     if implementation == "auto":
-        on_tpu = pltpu is not None and jax.default_backend() not in ("cpu", "gpu")
-        implementation = "pallas" if on_tpu else "xla"
+        implementation = "xla"
     if implementation == "xla":
         return _accel_xla(pos, mass, G, soft2)
 
