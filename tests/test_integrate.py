@@ -119,6 +119,46 @@ def test_kdk_matches_oracle_trajectory(rng):
     np.testing.assert_allclose(np.asarray(s.pos), opos, rtol=1e-3, atol=2e-2)
 
 
+def test_drift_tracks_oracle_on_reference_scene():
+    """The rebuilt integrator reproduces the reference-math oracle's energy
+    drift on the canonical scene (the drift itself is large — the reference's
+    dt under-resolves the inner orbits; parity means matching that curve)."""
+    from tpu_nbody.models import scenes
+
+    p, v, m = scenes.default_two_disk_scene(jax.random.PRNGKey(0),
+                                            n1=120, n2=40)
+    pos0 = np.asarray(p, np.float64)
+    vel0 = np.asarray(v, np.float64)
+    mass0 = np.asarray(m, np.float64)
+    G, soft2, dt, steps = 80.0, 1.0, 0.005, 150
+
+    def energy(pos, vel):
+        ke = 0.5 * (mass0 * (vel ** 2).sum(1)).sum()
+        d = pos[None] - pos[:, None]
+        r = np.sqrt((d * d).sum(-1))
+        u = -(np.pi / 2 - np.arctan2(r, 1.0))
+        np.fill_diagonal(u, 0.0)
+        return ke + 0.5 * G * (mass0[:, None] * mass0[None, :] * u).sum()
+
+    e0 = energy(pos0, vel0)
+    pos, vel = pos0.copy(), vel0.copy()
+    for _ in range(steps):
+        pos, vel = oracle.kdk_step(pos, vel, mass0, dt,
+                                   lambda p_, m_: oracle.exact_accel(
+                                       p_, m_, G, soft2))
+    drift_oracle = abs(energy(pos, vel) - e0) / abs(e0)
+
+    params = Params.default(dt=dt, merge_min_dist=0.0)
+    state = from_arrays(p, v, m)
+    for _ in range(steps):
+        state = integrate.kdk_step(state, params, _accel)
+    drift_ours = abs(energy(np.asarray(state.pos, np.float64),
+                            np.asarray(state.vel, np.float64)) - e0) / abs(e0)
+    # chaotic trajectories diverge; the drift MAGNITUDE must match
+    assert drift_ours < max(3 * drift_oracle, drift_oracle + 0.05)
+    assert drift_oracle < max(3 * drift_ours, drift_ours + 0.05)
+
+
 def test_euler_step_semantics():
     """Semi-implicit Euler: v' = v + a*dt, x' = x + v'*dt (GPU.kt:147-148)."""
     pos = jnp.asarray([[0.0, 0.0], [10.0, 0.0]])
