@@ -80,6 +80,44 @@ def test_sharded_merge_matches_single_device(rng):
     assert float(out.mass[0]) == 5003.0 and float(out.mass[3]) == 6003.0
 
 
+def test_sharded_pm_matches_single_device(rng):
+    """Domain-decomposed multi-chip P3M vs single-chip P3M."""
+    from tpu_nbody.config import SimConfig
+    from tpu_nbody.models import scenes
+    from tpu_nbody.ops import mesh as mesh_ops
+    from tpu_nbody.parallel.sharded_pm import (make_sharded_pm_step,
+                                               reshard_by_hilbert)
+
+    cap, n = 1024, 900
+    cfg = SimConfig(capacity=cap, mesh_level=9, mesh_band=32, mesh_chunk=128)
+    p, v, mm = scenes.default_two_disk_scene(jax.random.PRNGKey(1),
+                                             n1=700, n2=200)
+    state = from_arrays(p, v, mm, capacity=cap)
+    params = Params.default(dt=0.002, merge_min_dist=0.0)
+
+    m = mesh_lib.make_mesh()
+    sstate = reshard_by_hilbert(state, m, cfg)
+    step = make_sharded_pm_step(m, cfg)
+    out = step(sstate, params, n_steps=2)
+
+    # single-chip reference on the SAME (resharded) ordering
+    ref_state = jax.device_put(jax.tree.map(np.asarray, sstate))
+    origin = (cfg.root_center[0] - cfg.root_half,
+              cfg.root_center[1] - cfg.root_half)
+
+    def accel(pos, mass, alive, prm):
+        return mesh_ops.pm_accel(pos, mass, alive, prm.G, prm.soft2, origin,
+                                 2 * cfg.root_half, mesh_level=cfg.mesh_level,
+                                 split_cells=cfg.mesh_split,
+                                 band=cfg.mesh_band, chunk=cfg.mesh_chunk)
+
+    ref = ref_state
+    for _ in range(2):
+        ref = kdk_step(ref, params, accel)
+    np.testing.assert_allclose(np.asarray(out.pos), np.asarray(ref.pos),
+                               rtol=1e-3, atol=5e-3)
+
+
 def test_graft_entry_dryrun():
     import __graft_entry__ as ge
     fn, args = ge.entry()

@@ -122,15 +122,18 @@ def _traverse_all(tree: Tree, gmin, gmax, gvalid, theta2, soft2, *,
     for _ in range(max_depth + 1):
         active = slot < f_len[:, None]                       # (G, F)
         nid = jnp.where(active, frontier, 0)
-        nonempty = active & (tree.mass[nid] > 0)
-        center, side = tree.cell_geometry(nid)               # (G,F,2), (G,F)
-        half = 0.5 * side[..., None]
-        gap = jnp.maximum(0.0, jnp.maximum(
-            (center - half) - gmax[:, None, :],
-            gmin[:, None, :] - (center + half)))
-        d2 = jnp.sum(gap * gap, axis=-1)
+        # ONE packed row-gather per frontier node (see Tree.node_rows).
+        rows = tree.node_rows[nid]                           # (G, F, 10)
+        nonempty = active & (rows[..., 0] > 0)
+        cx, cy, side = rows[..., 3], rows[..., 4], rows[..., 5]
+        half = 0.5 * side
+        gapx = jnp.maximum(0.0, jnp.maximum((cx - half) - gmax[:, None, 0],
+                                            gmin[:, None, 0] - (cx + half)))
+        gapy = jnp.maximum(0.0, jnp.maximum((cy - half) - gmax[:, None, 1],
+                                            gmin[:, None, 1] - (cy + half)))
+        d2 = gapx * gapx + gapy * gapy
         accept = (side * side < theta2 * (d2 + soft2)) & (d2 > 0)
-        is_leaf = tree.child[nid] < 0
+        is_leaf = rows[..., 6] < 0
 
         take_a = nonempty & accept
         take_l = nonempty & ~accept & is_leaf
@@ -139,20 +142,21 @@ def _traverse_all(tree: Tree, gmin, gmax, gvalid, theta2, soft2, *,
         approx, a_len = append(approx, a_len, take_a, nid, A)
         leaves, l_len = append(leaves, l_len, take_l, nid, L)
 
-        # Gather-based frontier expansion: opened nodes contribute their
-        # 1-4 occupied children, compacted via the child-count cumsum.
-        nc = jnp.where(take_o, tree.n_children[nid], 0)      # (G, F)
+        # Frontier expansion: opened nodes contribute their 1-4 occupied
+        # children, compacted at exclusive-cumsum positions with 4 bounded
+        # scatters (cheaper here than a per-wave searchsorted inversion).
+        # Child ids come from the already-gathered rows.
+        nc = jnp.where(take_o, rows[..., 7].astype(jnp.int32), 0)
         cum = jnp.cumsum(nc, axis=1)
         total = cum[:, -1]
-        r = jax.vmap(lambda c: jnp.searchsorted(c, slot[0] + 1,
-                                                side="left"))(cum)
-        r = jnp.clip(r, 0, F - 1).astype(jnp.int32)
-        before = jnp.where(r > 0,
-                           jnp.take_along_axis(cum, jnp.maximum(r - 1, 0),
-                                               axis=1), 0)
-        src = jnp.take_along_axis(nid, r, axis=1)
-        child0 = tree.child[src]
-        nxt = child0 + (slot - before)
+        o_pos = cum - nc                                     # exclusive cumsum
+        child0 = rows[..., 6].astype(jnp.int32)
+        nxt = jnp.zeros((approx.shape[0], F), jnp.int32)
+        for c in range(4):
+            tgt = jnp.where(take_o & (c < nc) & (o_pos + c < F),
+                            o_pos + c, F)
+            nxt = jax.vmap(lambda b, t, v: b.at[t].set(v, mode="drop"))(
+                nxt, tgt, child0 + c)
         f_need = jnp.maximum(f_need, total)
         f_len = jnp.minimum(total, F)
         frontier = jnp.where(slot < f_len[:, None], nxt, 0)
@@ -166,7 +170,9 @@ def _direct_partners_all(tree: Tree, leaves, l_len, *, direct_body_cap):
     DB = direct_body_cap
     lvalid = jnp.arange(L, dtype=jnp.int32)[None, :] < l_len[:, None]
     lidx = jnp.where(lvalid, leaves, 0)
-    counts = jnp.where(lvalid, tree.count[lidx], 0)
+    lrows = tree.node_rows[lidx]                              # (G, L, 10)
+    lstart = lrows[..., 8].astype(jnp.int32)
+    counts = jnp.where(lvalid, lrows[..., 9].astype(jnp.int32), 0)
     offs = jnp.cumsum(counts, axis=1)
     total = offs[:, -1]
     jj = jnp.arange(DB, dtype=jnp.int32)
@@ -175,8 +181,8 @@ def _direct_partners_all(tree: Tree, leaves, l_len, *, direct_body_cap):
     prev = jnp.where(leaf_k > 0,
                      jnp.take_along_axis(offs, jnp.maximum(leaf_k - 1, 0),
                                          axis=1), 0)
-    lsel = jnp.take_along_axis(lidx, leaf_k, axis=1)
-    slots = tree.start[lsel] + (jj[None, :] - prev)
+    slots = (jnp.take_along_axis(lstart, leaf_k, axis=1)
+             + (jj[None, :] - prev))
     valid = jj[None, :] < jnp.minimum(total, DB)[:, None]
     return jnp.where(valid, slots, 0), valid, total
 
@@ -238,10 +244,12 @@ def bh_accel_from_tree(tree: Tree, theta, soft2, G, *, group_size: int,
         bpos = jax.lax.dynamic_slice_in_dim(spos, sl0, GS, 0)
         avalid = jnp.arange(apx.shape[0], dtype=jnp.int32) < al
         aidx = jnp.where(avalid, apx, 0)
-        acc = _point_accel(bpos, tree.com[aidx],
-                           jnp.where(avalid, tree.mass[aidx], 0.0), soft2)
-        acc = acc + _point_accel(bpos, tree.spos[psl],
-                                 jnp.where(pv, tree.smass[psl], 0.0), soft2)
+        arows = tree.node_rows[aidx]                          # (A, 10)
+        acc = _point_accel(bpos, arows[:, 1:3],
+                           jnp.where(avalid, arows[:, 0], 0.0), soft2)
+        prow = tree.body_rows[psl]                            # (DB, 4)
+        acc = acc + _point_accel(bpos, prow[:, 0:2],
+                                 jnp.where(pv, prow[:, 2], 0.0), soft2)
         return jnp.where(gv, 1.0, 0.0) * acc
 
     n_chunks = -(-group_cap // group_chunk)

@@ -61,6 +61,13 @@ class Tree(NamedTuple):
     mass: jax.Array        # (NC,) float total subtree mass
     com: jax.Array         # (NC, 2) float subtree center of mass
     n_nodes: jax.Array     # () int32 nodes actually in use
+    # Packed per-node row for single-gather traversal: the backend moves a
+    # multi-lane row at the same rate as one scalar, so fetching
+    # [mass, comx, comy, cx, cy, side, child, nchild, start, count] as ONE
+    # row-gather is ~10x cheaper than ten field gathers. Geometry (cx, cy,
+    # side) is precomputed at build so the traversal never decodes codes.
+    node_rows: jax.Array   # (NC, 10) float32
+    body_rows: jax.Array   # (cap, 4) float32: [x, y, exerted mass, 0]
     # --- sorted bodies ---
     spos: jax.Array        # (cap, 2) positions in Hilbert order
     smass: jax.Array       # (cap,) exerted mass in Hilbert order (0 = dead)
@@ -160,6 +167,10 @@ def build_tree(pos, mass_exert, alive, origin, root_side, *, num_nodes: int,
     child_t = jnp.full((pad,), -1, jnp.int32)
     nchild_t = jnp.zeros((pad,), jnp.int32)
     parent_t = jnp.full((pad,), -1, jnp.int32)
+    cx_t = jnp.zeros((pad,), dtype)
+    cy_t = jnp.zeros((pad,), dtype)
+    side_t = jnp.zeros((pad,), dtype)
+    unit_len = root_side / (1 << morton.COORD_BITS)
 
     j = jnp.arange(W, dtype=jnp.int32)
     for l in range(max_depth + 1):
@@ -190,6 +201,15 @@ def build_tree(pos, mass_exert, alive, origin, root_side, *, num_nodes: int,
         blk_child = jnp.where(blk_leaf, -1, blk_child)
         blk_nc = jnp.where(blk_leaf, 0, blk_nc)
 
+        # cell geometry, precomputed once per node (decode + level mask)
+        gx, gy = morton.hilbert2d_inverse(blk_code)
+        gshift = morton.COORD_BITS - l
+        gx = (gx >> gshift) << gshift
+        gy = (gy >> gshift) << gshift
+        side_l = float(1 << gshift)
+        blk_cx = origin[0] + (gx.astype(dtype) + 0.5 * side_l) * unit_len
+        blk_cy = origin[1] + (gy.astype(dtype) + 0.5 * side_l) * unit_len
+
         off = offsets[l]
 
         def dus(table, blk, fill_invalid):
@@ -205,6 +225,9 @@ def build_tree(pos, mass_exert, alive, origin, root_side, *, num_nodes: int,
         child_t = dus(child_t, blk_child, -1)
         nchild_t = dus(nchild_t, blk_nc, 0)
         parent_t = dus(parent_t, blk_parent, -1)
+        cx_t = dus(cx_t, blk_cx, 0.0)
+        cy_t = dus(cy_t, blk_cy, 0.0)
+        side_t = dus(side_t, jnp.full((W,), side_l * unit_len, dtype), 0.0)
 
     # ---- aggregates: leaf sums + bottom-up child gathers ----
     leaf_id = jnp.full((cap,), NC, jnp.int32)
@@ -239,10 +262,20 @@ def build_tree(pos, mass_exert, alive, origin, root_side, *, num_nodes: int,
     msafe = jnp.maximum(m_t[:NC], 1e-30)
     com = jnp.stack([mx_t[:NC] / msafe, my_t[:NC] / msafe], axis=-1)
 
+    f32 = lambda x: x.astype(jnp.float32)
+    node_rows = jnp.stack(
+        [f32(m_t[:NC]), f32(com[:, 0]), f32(com[:, 1]), f32(cx_t[:NC]),
+         f32(cy_t[:NC]), f32(side_t[:NC]), f32(child_t[:NC]),
+         f32(nchild_t[:NC]), f32(start_t[:NC]), f32(count_t[:NC])], axis=-1)
+    body_rows = jnp.concatenate(
+        [f32(spos), f32(smass)[:, None], jnp.zeros((cap, 1), jnp.float32)],
+        axis=-1)
+
     return Tree(code=code_t[:NC], level=level_t[:NC], start=start_t[:NC],
                 count=count_t[:NC], child=child_t[:NC],
                 n_children=nchild_t[:NC], parent=parent_t[:NC],
-                mass=m_t[:NC], com=com, n_nodes=n_nodes, spos=spos,
+                mass=m_t[:NC], com=com, n_nodes=n_nodes,
+                node_rows=node_rows, body_rows=body_rows, spos=spos,
                 smass=smass, sidx=order.astype(jnp.int32),
                 unsort=unsort.astype(jnp.int32), n_alive=n_alive,
                 origin=origin, root_side=root_side)
