@@ -79,9 +79,12 @@ def main():
 
     n_alive = int(eng.state.n_alive())
     updates_per_sec = n_alive * args.steps / dt
+    acc_note = ("force err ~1.2e-3 (~BH theta 1.0)" if args.solver == "pm"
+                else f"theta={args.theta}" if args.solver == "bh"
+                else "exact")
     result = {
-        "metric": f"body-updates/sec (N={n_alive}, theta={args.theta}, "
-                  f"solver={args.solver})",
+        "metric": f"body-updates/sec (N={n_alive}, solver={args.solver}, "
+                  f"{acc_note}, merge on)",
         "value": round(updates_per_sec, 1),
         "unit": "bodies/s",
         "vs_baseline": round(updates_per_sec / BASELINE_UPDATES_PER_SEC, 2),

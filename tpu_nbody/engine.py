@@ -334,6 +334,10 @@ class Engine:
             world_h=self.cfg.world_h, dtype=self.cfg.jdtype)
         self.add_bodies(p, v, mm)
 
+    def compact(self):
+        """Pack alive bodies to the front (after heavy merging)."""
+        self.state = state_lib.compact(self.state)
+
     # -------------------------------------------------------------- debug
     def tree_boxes(self):
         """Quad outlines for the D-key debug overlay (numpy arrays)."""
