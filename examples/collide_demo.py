@@ -25,6 +25,9 @@ def main():
     ap.add_argument("--height", type=int, default=200)
     ap.add_argument("--mode", default="speed", choices=["speed", "classic"])
     ap.add_argument("--speed-scale", type=float, default=1.0 / 300.0)
+    ap.add_argument("--fused", action="store_true",
+                    help="render the whole movie inside ONE jitted lax.scan "
+                         "(no per-frame host round trips)")
     args = ap.parse_args()
 
     import jax
@@ -43,6 +46,32 @@ def main():
     eng.reset_default_scene(n1=args.n1, n2=args.n2)
 
     zoom = args.width / cfg.world_w
+
+    if args.fused:
+        # Fused path: steps + on-device splats inside one lax.scan; only the
+        # final uint8 frame stack crosses to the host.
+        from tpu_nbody.engine import make_step_fn
+
+        step_once = make_step_fn(cfg, eng.caps, "bh", "kdk", False, 64)
+
+        def step_fn(state, params):
+            state, _ = step_once(state, params, n_steps=1)
+            return state
+
+        t0 = time.perf_counter()
+        eng.state, frames_dev = render.render_movie(
+            eng.state, eng.params, step_fn, n_frames=args.frames,
+            steps_per_frame=args.steps_per_frame, width=args.width,
+            height=args.height, zoom=zoom,
+            view_y=-(args.height / zoom - cfg.world_h) / 2, mode=args.mode,
+            speed_scale=args.speed_scale)
+        frames = list(np.asarray(frames_dev))
+        print(f"fused scan: {len(frames)} frames in "
+              f"{time.perf_counter() - t0:.1f}s")
+        viewer.write_gif(args.out, frames, fps=25)
+        print(f"wrote {args.out}")
+        return
+
     frames = []
     t0 = time.perf_counter()
     for i in range(args.frames):

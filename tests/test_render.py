@@ -104,6 +104,35 @@ def test_write_gif(tmp_path):
     assert raw.count(b"\x21\xf9") == 3  # one GCE per frame
 
 
+def test_render_movie_fused_scan():
+    """One jitted scan produces simulation + frames with no host loop."""
+    import jax
+
+    from tpu_nbody.ops import forces, integrate
+    from tpu_nbody.state import from_arrays
+
+    pos = jnp.asarray([[10.0, 10.0], [20.0, 10.0]])
+    vel = jnp.asarray([[0.0, 20.0], [0.0, -20.0]])  # ~8 px over the movie
+    state = from_arrays(pos, vel, jnp.ones((2,)))
+    params = Params.default(dt=0.05, merge_min_dist=0.0)
+
+    def accel(p, m, alive, prm):
+        return forces.accel_allpairs(p, jnp.where(alive, m, 0.0), prm.G,
+                                     prm.soft2, implementation="xla")
+
+    def step(s, prm):
+        return integrate.kdk_step(s, prm, accel)
+
+    final, frames = render.render_movie(
+        state, params, step, n_frames=4, steps_per_frame=2,
+        width=32, height=32, mode="classic")
+    assert frames.shape == (4, 32, 32, 3) and frames.dtype == jnp.uint8
+    assert int(final.step) == 8
+    # bodies moved between first and last frame
+    assert not np.array_equal(np.asarray(frames[0]), np.asarray(frames[-1]))
+    assert np.asarray(frames).sum() > 0
+
+
 def test_viewport_math():
     vp = viewer.Viewport(width=800, height=600, world_w=2400, world_h=800)
     assert vp.world_to_screen(100, 50) == (100, 50)

@@ -105,3 +105,34 @@ def render_frame_3d(pos, vel, mass, alive, *, width: int, height: int,
 
 def to_uint8(fb):
     return (jnp.clip(fb, 0.0, 1.0) * 255.0 + 0.5).astype(jnp.uint8)
+
+
+def render_movie(state, params, step_fn, *, n_frames: int,
+                 steps_per_frame: int, width: int, height: int,
+                 view_x=0.0, view_y=0.0, zoom=1.0, mode: str = "speed",
+                 speed_scale=1.0 / 10_000.0, gain=1.0):
+    """Fused simulate+render loop: one jitted ``lax.scan`` produces a whole
+    movie of uint8 frames with zero per-step host round-trips (BASELINE
+    config[3]: fused step + on-device point-splat).
+
+    ``step_fn(state, params) -> state`` advances one step. Returns
+    (final_state, frames (n_frames, height, width, 3) uint8).
+    """
+    import functools
+
+    @functools.partial(jax.jit, static_argnames=())
+    def run(state, params):
+        def frame(state, _):
+            def one(s, _):
+                return step_fn(s, params), None
+            state, _ = jax.lax.scan(one, state, None,
+                                    length=steps_per_frame)
+            fb = render_frame(state.pos, state.vel, state.mass, state.alive,
+                              width=width, height=height, view_x=view_x,
+                              view_y=view_y, zoom=zoom, mode=mode,
+                              speed_scale=speed_scale, gain=gain)
+            return state, to_uint8(fb)
+
+        return jax.lax.scan(frame, state, None, length=n_frames)
+
+    return run(state, params)
