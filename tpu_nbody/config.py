@@ -80,6 +80,8 @@ class SimConfig:
     mesh_split: float = 2.5        # short/long split radius in cell units
     mesh_band: int = 128           # Hilbert-order half-window for F_short
     mesh_chunk: int = 131072       # bodies per band-window chunk
+    mesh_order: int = 2            # mass assignment: 2 = CIC, 1 = NGP (faster,
+                                   # ~20x noisier mesh force — see ops/mesh.py)
     dtype: str = "float32"
 
     @property

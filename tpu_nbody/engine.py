@@ -123,7 +123,8 @@ def make_pm_accel(cfg: SimConfig):
         acc = mesh_lib.pm_accel(
             pos, mass, alive, params.G, params.soft2, origin, side,
             mesh_level=cfg.mesh_level, split_cells=cfg.mesh_split,
-            band=cfg.mesh_band, chunk=min(cfg.mesh_chunk, cfg.capacity))
+            band=cfg.mesh_band, chunk=min(cfg.mesh_chunk, cfg.capacity),
+            order=cfg.mesh_order)
         return acc, None
     return accel
 
@@ -352,7 +353,11 @@ class Engine:
         v = np.asarray(valid)
         return np.asarray(center)[v], np.asarray(side)[v]
 
-    def stats(self):
+    def stats(self, potential: bool | None = None):
+        """Device-computed HUD scalars. ``potential`` (O(N^2)) defaults on
+        up to 64k capacity, off above — pass explicitly to override."""
         from tpu_nbody.ops import diagnostics
-        return jax.tree.map(np.asarray,
-                            diagnostics.stats(self.state, self.params))
+        if potential is None:
+            potential = self.cfg.capacity <= 65536
+        return jax.tree.map(np.asarray, diagnostics.stats(
+            self.state, self.params, potential=potential))

@@ -3,7 +3,9 @@ from tpu_nbody.ops import (  # noqa: F401
     forces,
     integrate,
     merge,
+    mesh,
     morton,
+    render,
     traverse,
     tree,
 )

@@ -9,6 +9,8 @@ device; only O(1) scalars cross to the host.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -39,19 +41,26 @@ def angular_momentum_z(state: SimState):
                                  - r[:, 1] * state.vel[:, 0]))
 
 
-@jax.jit
-def stats(state: SimState, params):
-    """Scalar HUD dict (device-computed): the SURVEY §5.5 rebuild plan."""
+@functools.partial(jax.jit, static_argnames=("potential",))
+def stats(state: SimState, params, potential: bool = True):
+    """Scalar HUD dict (device-computed): the SURVEY §5.5 rebuild plan.
+
+    ``potential`` controls the O(N^2) pairwise potential-energy sum — leave
+    it off for very large N (the cheap O(N) scalars are always computed).
+    """
     ke = kinetic_energy(state)
-    pe = forces.potential_energy(state.pos, state.mass, params.G, params.soft2)
-    return {
+    out = {
         "n_alive": state.n_alive(),
         "step": state.step,
         "kinetic": ke,
-        "potential": pe,
-        "energy": ke + pe,
         "momentum": momentum(state),
         "com": center_of_mass(state),
         "angular_momentum_z": angular_momentum_z(state),
         "total_mass": jnp.sum(state.mass),
     }
+    if potential:
+        pe = forces.potential_energy(state.pos, state.mass, params.G,
+                                     params.soft2)
+        out["potential"] = pe
+        out["energy"] = ke + pe
+    return out

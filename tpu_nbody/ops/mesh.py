@@ -118,15 +118,20 @@ def _band_short_range(spos, smass, soft2, a, *, band: int, chunk: int):
 
 
 @functools.partial(jax.jit, static_argnames=("mesh_level", "split_cells",
-                                              "band", "chunk"))
+                                              "band", "chunk", "order"))
 def pm_accel(pos, mass, alive, G, soft2, origin, root_side, *,
-             mesh_level: int, split_cells: float, band: int, chunk: int):
+             mesh_level: int, split_cells: float, band: int, chunk: int,
+             order: int = 2):
     """P3M acceleration, original body order. (n, 2) -> (n, 2).
 
     mesh_level: world grid is 2^level x 2^level over the root quad; the FFT
     grid is twice that (zero padding for a linear convolution).
     split_cells: short/long split radius ``a`` in units of the cell size.
     band: Hilbert-order half-window for the short-range sum.
+    order: mass-assignment order — 2 = CIC (4 cells/body, default),
+    1 = NGP (1 cell/body: ~2x fewer scatter/gather passes, extra O(h/a)
+    mesh noise). Deposit and interpolation always share the scheme, so the
+    self-force cancels in both modes.
     """
     cap = pos.shape[0]
     dtype = pos.dtype
@@ -145,18 +150,23 @@ def pm_accel(pos, mass, alive, G, soft2, origin, root_side, *,
     # odd force kernel, symmetric CIC/CIC makes the self-force cancel exactly
     # (mixed schemes leave a large spurious self-kick).
     scaled = (spos - origin) / h          # position in cell units
-    u = scaled - 0.5                       # in cell-CENTER coordinates
-    base = jnp.floor(u).astype(jnp.int32)
-    frac = u - base.astype(dtype)          # in [0, 1)
-    bx0 = jnp.clip(base[:, 0], 0, nw - 1)
-    by0 = jnp.clip(base[:, 1], 0, nw - 1)
-    bx1 = jnp.clip(base[:, 0] + 1, 0, nw - 1)
-    by1 = jnp.clip(base[:, 1] + 1, 0, nw - 1)
-    wx1, wy1 = frac[:, 0], frac[:, 1]
-    wx0, wy0 = 1.0 - wx1, 1.0 - wy1
-    idx4 = (by0 * grid + bx0, by0 * grid + bx1,
-            by1 * grid + bx0, by1 * grid + bx1)
-    w4 = (wx0 * wy0, wx1 * wy0, wx0 * wy1, wx1 * wy1)
+    if order == 1:
+        cell = jnp.clip(jnp.floor(scaled).astype(jnp.int32), 0, nw - 1)
+        idx4 = (cell[:, 1] * grid + cell[:, 0],)
+        w4 = (jnp.ones((cap,), dtype),)
+    else:
+        u = scaled - 0.5                   # in cell-CENTER coordinates
+        base = jnp.floor(u).astype(jnp.int32)
+        frac = u - base.astype(dtype)      # in [0, 1)
+        bx0 = jnp.clip(base[:, 0], 0, nw - 1)
+        by0 = jnp.clip(base[:, 1], 0, nw - 1)
+        bx1 = jnp.clip(base[:, 0] + 1, 0, nw - 1)
+        by1 = jnp.clip(base[:, 1] + 1, 0, nw - 1)
+        wx1, wy1 = frac[:, 0], frac[:, 1]
+        wx0, wy0 = 1.0 - wx1, 1.0 - wy1
+        idx4 = (by0 * grid + bx0, by0 * grid + bx1,
+                by1 * grid + bx0, by1 * grid + bx1)
+        w4 = (wx0 * wy0, wx1 * wy0, wx0 * wy1, wx1 * wy1)
 
     rho = jnp.zeros((grid * grid,), dtype)
     for idx, w in zip(idx4, w4):

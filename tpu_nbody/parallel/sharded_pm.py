@@ -35,7 +35,6 @@ from jax.sharding import Mesh, PartitionSpec as P
 from tpu_nbody.config import Params, SimConfig
 from tpu_nbody.ops import mesh as mesh_ops
 from tpu_nbody.ops import morton
-from tpu_nbody.ops.merge import merge_bodies  # single-chip reference impl
 from tpu_nbody.parallel.mesh import BODY_AXIS
 from tpu_nbody.parallel.sharded import _merge_sharded
 from tpu_nbody.state import SimState
