@@ -55,8 +55,8 @@ def main():
             frontier_cap=512,
             leaf_list_cap=256,
             mesh_level=10 if args.small else 12,
-            mesh_band=128,
-            mesh_chunk=min(32768, cap),
+            mesh_band=256,
+            mesh_chunk=min(16384, cap),
         )
         params = Params.default(theta=args.theta)
         eng = Engine(cfg, params, solver=args.solver,
@@ -100,7 +100,7 @@ def main():
 
     n_alive = int(eng.state.n_alive())
     updates_per_sec = n_alive * args.steps / dt
-    acc_note = ("force err ~1.2e-3 (~BH theta 1.0)" if args.solver == "pm"
+    acc_note = ("force err ~8.5e-4 (~BH theta 0.9)" if args.solver == "pm"
                 else f"theta={args.theta}" if args.solver == "bh"
                 else "exact")
     result = {

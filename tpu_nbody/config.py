@@ -67,7 +67,9 @@ class SimConfig:
     leaf_size: int = 16            # max bodies per leaf before splitting
     max_depth: int = 14            # max tree levels below root (<=16 for 32-bit Morton)
     node_capacity: int = 0         # 0 -> auto (derived from capacity/leaf_size)
-    group_size: int = 256          # max bodies per traversal group (tree node)
+    group_size: int = 512          # max bodies per traversal group (tree node);
+                                   # larger amortizes traversal over more bodies
+                                   # (512 measured ~2x faster than 256 at N=100k)
     group_cap: int = 0             # 0 -> auto: padded group-slot count
     # Traversal list caps (padded static shapes; engine re-derives on overflow).
     approx_cap: int = 4096         # max accepted multipole nodes per group
@@ -77,9 +79,9 @@ class SimConfig:
     group_chunk: int = 64          # groups evaluated per lax.map chunk (memory bound)
     # P3M ("pm") solver knobs.
     mesh_level: int = 11           # world grid = 2^level per side over the root
-    mesh_split: float = 2.5        # short/long split radius in cell units
-    mesh_band: int = 128           # Hilbert-order half-window for F_short
-    mesh_chunk: int = 131072       # bodies per band-window chunk
+    mesh_split: float = 4.0        # short/long split radius in cell units
+    mesh_band: int = 256           # sorted-order block size for F_short
+    mesh_chunk: int = 16384        # bodies per band chunk (memory bound)
     mesh_order: int = 2            # mass assignment: 2 = CIC, 1 = NGP (faster,
                                    # ~20x noisier mesh force — see ops/mesh.py)
     dtype: str = "float32"

@@ -117,38 +117,15 @@ def _band_short_range(spos, smass, soft2, a, *, band: int, chunk: int):
     return acc.reshape(n_chunks * cb * S, 2)[:cap]
 
 
-@functools.partial(jax.jit, static_argnames=("mesh_level", "split_cells",
-                                              "band", "chunk", "order"))
-def pm_accel(pos, mass, alive, G, soft2, origin, root_side, *,
-             mesh_level: int, split_cells: float, band: int, chunk: int,
-             order: int = 2):
-    """P3M acceleration, original body order. (n, 2) -> (n, 2).
+def _mesh_force(spos, smass, origin, h, nw, grid, soft2, a, order, kernel):
+    """Deposit -> FFT convolution -> interpolate, for one grid registration.
 
-    mesh_level: world grid is 2^level x 2^level over the root quad; the FFT
-    grid is twice that (zero padding for a linear convolution).
-    split_cells: short/long split radius ``a`` in units of the cell size.
-    band: Hilbert-order half-window for the short-range sum.
-    order: mass-assignment order — 2 = CIC (4 cells/body, default),
-    1 = NGP (1 cell/body: ~2x fewer scatter/gather passes, extra O(h/a)
-    mesh noise). Deposit and interpolation always share the scheme, so the
-    self-force cancels in both modes.
+    Deposit and interpolation MUST use the same assignment scheme: for the
+    odd force kernel, symmetric deposit/interp makes the self-force cancel
+    exactly (mixed schemes leave a large spurious self-kick).
     """
-    cap = pos.shape[0]
-    dtype = pos.dtype
-    origin = jnp.asarray(origin, dtype)
-    root_side = jnp.asarray(root_side, dtype)
-    nw = 1 << mesh_level            # world cells per side
-    grid = 2 * nw                   # padded FFT grid
-    h = root_side / nw
-    a = split_cells * h
-
-    spos, smass, salive, unsort = _hilbert_sort(pos, mass, alive, origin,
-                                                root_side)
-
-    # ---- CIC (cloud-in-cell) deposit over the 2x2 nearest cell centers ----
-    # Deposit and interpolation MUST use the same assignment scheme: for the
-    # odd force kernel, symmetric CIC/CIC makes the self-force cancel exactly
-    # (mixed schemes leave a large spurious self-kick).
+    dtype = spos.dtype
+    cap = spos.shape[0]
     scaled = (spos - origin) / h          # position in cell units
     if order == 1:
         cell = jnp.clip(jnp.floor(scaled).astype(jnp.int32), 0, nw - 1)
@@ -171,21 +148,58 @@ def pm_accel(pos, mass, alive, G, soft2, origin, root_side, *,
     rho = jnp.zeros((grid * grid,), dtype)
     for idx, w in zip(idx4, w4):
         rho = rho.at[idx].add(smass * w)
-    rho = rho.reshape(grid, grid)
-
-    # ---- FFT convolution with the long-range kernel ----
-    kx_hat, ky_hat = _kernel_hats(grid, h, soft2, a, dtype)
-    rho_hat = jnp.fft.rfft2(rho)
+    kx_hat, ky_hat = kernel
+    rho_hat = jnp.fft.rfft2(rho.reshape(grid, grid))
     fx = jnp.fft.irfft2(rho_hat * kx_hat, s=(grid, grid))
     fy = jnp.fft.irfft2(rho_hat * ky_hat, s=(grid, grid))
     fgrid = jnp.stack([fx, fy], axis=-1).reshape(grid * grid, 2)
 
-    # ---- CIC interpolation of the mesh force at body positions ----
     acc_mesh = jnp.zeros_like(spos)
     for idx, w in zip(idx4, w4):
         acc_mesh = acc_mesh + fgrid[idx] * w[:, None]
+    return acc_mesh
 
-    # ---- short-range band correction ----
+
+@functools.partial(jax.jit, static_argnames=("mesh_level", "split_cells",
+                                              "band", "chunk", "order",
+                                              "interlace"))
+def pm_accel(pos, mass, alive, G, soft2, origin, root_side, *,
+             mesh_level: int, split_cells: float, band: int, chunk: int,
+             order: int = 2, interlace: bool = False):
+    """P3M acceleration, original body order. (n, 2) -> (n, 2).
+
+    mesh_level: world grid is 2^level x 2^level over the root quad; the FFT
+    grid is twice that (zero padding for a linear convolution).
+    split_cells: short/long split radius ``a`` in units of the cell size.
+    band: Hilbert-order half-window for the short-range sum.
+    order: mass-assignment order — 2 = CIC (4 cells/body, default),
+    1 = NGP (1 cell/body: ~2x fewer scatter/gather passes, extra O(h/a)
+    mesh noise).
+    interlace: average a second mesh pass on a half-cell-shifted grid —
+    cancels leading-order assignment aliasing. Measured effect on the galaxy
+    scene is modest (mean error -10-15% at ~2x mesh cost); the residual error
+    is dominated by the split-region (r ~ a) kernel quantization, not
+    aliasing.
+    """
+    dtype = pos.dtype
+    origin = jnp.asarray(origin, dtype)
+    root_side = jnp.asarray(root_side, dtype)
+    nw = 1 << mesh_level            # world cells per side
+    grid = 2 * nw                   # padded FFT grid
+    h = root_side / nw
+    a = split_cells * h
+
+    spos, smass, salive, unsort = _hilbert_sort(pos, mass, alive, origin,
+                                                root_side)
+
+    kernel = _kernel_hats(grid, h, soft2, a, dtype)
+    acc_mesh = _mesh_force(spos, smass, origin, h, nw, grid, soft2, a,
+                           order, kernel)
+    if interlace:
+        acc_mesh = 0.5 * (acc_mesh + _mesh_force(
+            spos, smass, origin - 0.5 * h, h, nw, grid, soft2, a, order,
+            kernel))
+
     acc_short = _band_short_range(spos, smass, soft2, a, band=band,
                                   chunk=chunk)
 

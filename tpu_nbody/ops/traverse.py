@@ -210,7 +210,7 @@ def bh_accel_from_tree(tree: Tree, theta, soft2, G, *, group_size: int,
     ``acc`` is in ORIGINAL body order.
     """
     cap, _ = tree.spos.shape
-    GS = group_size
+    GS = min(group_size, cap)
     theta2 = theta * theta
     NC = tree.code.shape[0]
     group_cap = min(group_cap, NC)  # at most one group per node
