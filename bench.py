@@ -46,14 +46,16 @@ def main():
 
     def run_once(n):
         cap = 1 << (n - 1).bit_length()  # next pow2
+        big_bh = args.solver == "bh" and not args.small
         cfg = SimConfig(
             capacity=cap,
             max_depth=11 if args.small else 14,
             group_chunk=16,
-            approx_cap=512,
-            direct_body_cap=1024,
-            frontier_cap=512,
-            leaf_list_cap=256,
+            # generous BH caps at full scale to avoid retune recompiles
+            approx_cap=1024 if big_bh else 512,
+            direct_body_cap=4096 if big_bh else 1024,
+            frontier_cap=1024 if big_bh else 512,
+            leaf_list_cap=512 if big_bh else 256,
             mesh_level=10 if args.small else 12,
             mesh_band=256,
             mesh_chunk=min(16384, cap),

@@ -285,6 +285,15 @@ class Engine:
         self.state = new_state
         return self.state
 
+    def get_bodies(self):
+        """Alive bodies as host numpy (pos, vel, mass) — the
+        ``PhysicsEngine.getBodies()`` equivalent (``BarnesHutAlg.kt:335``).
+        For device-side work use ``engine.state`` directly."""
+        alive = np.asarray(self.state.alive)
+        return (np.asarray(self.state.pos)[alive],
+                np.asarray(self.state.vel)[alive],
+                np.asarray(self.state.mass)[alive])
+
     # --------------------------------------------------------- scene edits
     def set_bodies(self, pos, vel, mass):
         self.state = state_lib.from_arrays(pos, vel, mass, self.cfg.capacity)
