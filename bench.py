@@ -85,6 +85,18 @@ def main():
             dt = min(dt, time.perf_counter() - t0)
         return eng, warmup_s, dt
 
+    def wait_for_worker(max_wait=600):
+        """Poll until a trivial device op succeeds (worker restart)."""
+        import jax.numpy as jnp
+        deadline = time.time() + max_wait
+        while time.time() < deadline:
+            try:
+                float((jnp.ones((8,)) + 1)[0])
+                return True
+            except Exception:
+                time.sleep(20)
+        return False
+
     # The TPU tunnel occasionally drops mid-run; retry, then shrink.
     attempts = [args.n, args.n, max(args.n // 10, 10_000)]
     last_err = None
@@ -96,7 +108,7 @@ def main():
             last_err = e
             print(f"# bench attempt at n={attempt_n} failed: "
                   f"{str(e)[:200]}", file=sys.stderr)
-            time.sleep(30)
+            wait_for_worker()
     else:
         raise last_err
 
