@@ -231,12 +231,40 @@ def bh_accel_from_tree(tree: Tree, theta, soft2, G, *, group_size: int,
 
     gmin, gmax = jax.vmap(aabb)(gstart, gcount, gvalid)
 
-    approx, a_len, leaves, l_len, f_need = _traverse_all(
-        tree, gmin, gmax, gvalid, theta2, soft2, max_depth=max_depth,
-        frontier_cap=frontier_cap, approx_cap=approx_cap,
-        leaf_list_cap=leaf_list_cap)
-    pslots, pvalid, d_need = _direct_partners_all(
-        tree, leaves, l_len, direct_body_cap=direct_body_cap)
+    # Chunk the traversal over groups: per-wave temporaries are
+    # (groups x frontier_cap x 10-lane rows) and at large N a single batch
+    # allocates gigabytes (observed to hard-crash this backend's worker).
+    tchunk = min(group_cap, 4096)
+    n_tchunks = -(-group_cap // tchunk)
+    tpad = n_tchunks * tchunk
+
+    def pad_groups(x, fill):
+        return jnp.concatenate(
+            [x, jnp.full((tpad - group_cap,) + x.shape[1:], fill, x.dtype)])
+
+    def trav_chunk(args):
+        gmn, gmx, gv = args
+        apx, al, lv, ll, fn = _traverse_all(
+            tree, gmn, gmx, gv, theta2, soft2, max_depth=max_depth,
+            frontier_cap=frontier_cap, approx_cap=approx_cap,
+            leaf_list_cap=leaf_list_cap)
+        psl, pv, dn = _direct_partners_all(
+            tree, lv, ll, direct_body_cap=direct_body_cap)
+        return apx, al, ll, psl, pv, dn, fn
+
+    targs = jax.tree.map(
+        lambda x: x.reshape((n_tchunks, tchunk) + x.shape[1:]),
+        (pad_groups(gmin, 0.0), pad_groups(gmax, 0.0),
+         pad_groups(gvalid, False)))
+    apx_c, al_c, ll_c, psl_c, pv_c, dn_c, fn_c = jax.lax.map(
+        trav_chunk, targs)
+    approx = apx_c.reshape(tpad, approx_cap)[:group_cap]
+    a_len = al_c.reshape(tpad)[:group_cap]
+    l_len = ll_c.reshape(tpad)[:group_cap]
+    pslots = psl_c.reshape(tpad, direct_body_cap)[:group_cap]
+    pvalid = pv_c.reshape(tpad, direct_body_cap)[:group_cap]
+    d_need = dn_c.reshape(tpad)[:group_cap]
+    f_need = fn_c.reshape(tpad)[:group_cap]
 
     # ---- force evaluation, chunked over groups (pure gather + math) ----
     def one_group(gs, gc, gv, apx, al, psl, pv):
