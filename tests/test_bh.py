@@ -45,7 +45,9 @@ def test_bh_error_vs_exact(theta, tol):
     acc, stats = _bh_accel(pos, mass, alive, theta)
     assert not bool(stats.overflowed({
         "approx_cap": 2048, "leaf_list_cap": 512, "direct_body_cap": 4096,
-        "frontier_cap": 1024, "group_cap": 512}))
+        "frontier_cap": 1024, "group_cap": 512,
+        "num_nodes": C.SimConfig(capacity=1536).num_nodes,
+        "group_size": 64}))
     ref = forces.accel_allpairs(pos, mass, 80.0, 1.0, implementation="xla")
     ref = ref * alive[:, None]
     rel = (np.linalg.norm(np.asarray(acc - ref), axis=-1)
@@ -111,4 +113,6 @@ def test_overflow_is_reported():
     assert int(stats.direct_need) > 16
     assert bool(stats.overflowed({
         "approx_cap": 2048, "leaf_list_cap": 512, "direct_body_cap": 16,
-        "frontier_cap": 1024, "group_cap": 512}))
+        "frontier_cap": 1024, "group_cap": 512,
+        "num_nodes": C.SimConfig(capacity=1024).num_nodes,
+        "group_size": 64}))

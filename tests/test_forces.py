@@ -76,8 +76,14 @@ def test_softening_in_force_law():
                                rtol=1e-6)
 
 
-def test_potential_energy_consistent_with_force():
-    """-dU/dr equals the softened force magnitude (finite difference)."""
+@pytest.mark.parametrize("d0", [1.0, 2.5, 7.0])
+def test_potential_energy_consistent_with_force(d0):
+    """-dU/dr equals the implemented force magnitude (finite difference).
+
+    The force is the Plummer-softened G m M r / (r^2 + eps^2)^1.5
+    (BarnesHutAlg.kt:250-259) — checked at r = eps, where the previously-used
+    atan-form potential was 41% off.
+    """
     G, soft2 = 80.0, 1.0
     m = jnp.asarray([2.0, 3.0])
 
@@ -85,7 +91,16 @@ def test_potential_energy_consistent_with_force():
         pos = jnp.asarray([[0.0, 0.0], [d, 0.0]])
         return float(forces.potential_energy(pos, m, G, soft2))
 
-    d0, h = 7.0, 0.05
+    h = 0.05
     dU = (U(d0 + h) - U(d0 - h)) / (2 * h)  # f32 energies: keep h coarse
-    f = G * 2.0 * 3.0 / (d0 * d0 + soft2)
+    f = G * 2.0 * 3.0 * d0 / (d0 * d0 + soft2) ** 1.5
     np.testing.assert_allclose(dU, f, rtol=5e-3)
+
+
+def test_potential_energy_closed_form():
+    """U = -G m M / sqrt(r^2 + eps^2) exactly for one pair."""
+    pos = jnp.asarray([[0.0, 0.0], [3.0, 4.0]])  # r = 5
+    m = jnp.asarray([2.0, 3.0])
+    got = float(forces.potential_energy(pos, m, 80.0, 1.0))
+    want = -80.0 * 2.0 * 3.0 / np.sqrt(26.0)
+    np.testing.assert_allclose(got, want, rtol=1e-6)

@@ -16,7 +16,7 @@ def _apply(pos, vel, mass, max_mass=4000.0, min_dist=8.0, cap=None):
                         jnp.asarray(vel, jnp.float32),
                         jnp.asarray(mass, jnp.float32), capacity=cap)
     params = Params.default(merge_max_mass=max_mass, merge_min_dist=min_dist)
-    out = merge_bodies(state, params, heavy_cap=16)
+    out, _ = merge_bodies(state, params, heavy_cap=16)
     return out
 
 
@@ -102,3 +102,40 @@ def test_merge_in_padded_state():
     out = _apply(pos, np.zeros_like(pos), mass, cap=64)
     assert int(out.n_alive()) == 1
     assert float(out.mass.sum()) == 5007.0
+
+
+def test_heavy_need_reported():
+    """heavy_need counts every qualifying heavy, beyond the static cap."""
+    n = 24
+    pos = np.stack([np.linspace(0.0, 2300.0, n), np.full(n, 50.0)], axis=1)
+    mass = np.full(n, 5000.0, np.float32)
+    state = from_arrays(jnp.asarray(pos, jnp.float32),
+                        jnp.zeros((n, 2), jnp.float32),
+                        jnp.asarray(mass), capacity=32)
+    params = Params.default()
+    _, need = merge_bodies(state, params, heavy_cap=4)
+    assert int(need) == n
+
+
+def test_hundred_black_holes_no_absorber_dropped():
+    """100 heavies, each with one satellite in range: with the engine-style
+    heavy_cap retune (cap >= heavy_need) EVERY absorber eats its satellite —
+    the reference scans every heavy unconditionally
+    (BarnesHutAlg.kt:463-532)."""
+    nbh = 100
+    xs = np.linspace(0.0, 2300.0, nbh)
+    pos = np.concatenate([np.stack([xs, np.full(nbh, 100.0)], 1),
+                          np.stack([xs + 2.0, np.full(nbh, 100.0)], 1)])
+    mass = np.concatenate([np.full(nbh, 5000.0), np.full(nbh, 1.0)])
+    state = from_arrays(jnp.asarray(pos, jnp.float32),
+                        jnp.zeros((2 * nbh, 2), jnp.float32),
+                        jnp.asarray(mass, jnp.float32), capacity=256)
+    params = Params.default()
+
+    out, need = merge_bodies(state, params, heavy_cap=16)
+    assert int(need) == nbh  # the overflow is detectable...
+    out, need = merge_bodies(state, params, heavy_cap=int(need))
+    assert int(need) == nbh  # ...and at cap >= need nothing is dropped
+    alive = np.asarray(out.alive)
+    assert alive[:nbh].all() and not alive[nbh:2 * nbh].any()
+    np.testing.assert_allclose(np.asarray(out.mass)[:nbh], 5001.0)

@@ -38,7 +38,7 @@ def test_sharded_step_matches_single_device(rng):
     m = mesh_lib.make_mesh()
     sstate = mesh_lib.shard_state(state, m)
     step = make_sharded_step(m)
-    out_sharded = step(sstate, params, n_steps=3)
+    out_sharded, _ = step(sstate, params, n_steps=3)
 
     def accel(pos, mass, alive, p):
         return forces.accel_allpairs(pos, jnp.where(alive, mass, 0.0),
@@ -47,7 +47,7 @@ def test_sharded_step_matches_single_device(rng):
     ref = state
     for _ in range(3):
         ref = kdk_step(ref, params, accel)
-        ref = merge_bodies(ref, params)
+        ref, _ = merge_bodies(ref, params)
 
     np.testing.assert_allclose(np.asarray(out_sharded.pos),
                                np.asarray(ref.pos), rtol=2e-4, atol=2e-4)
@@ -69,10 +69,11 @@ def test_sharded_merge_matches_single_device(rng):
 
     m = mesh_lib.make_mesh()
     step = make_sharded_step(m)
-    out = step(mesh_lib.shard_state(state, m), params, n_steps=1)
+    out, need = step(mesh_lib.shard_state(state, m), params, n_steps=1)
 
     ref = kdk_step(state, params, lambda p, mm, a, pr: jnp.zeros_like(p))
-    ref = merge_bodies(ref, params)
+    ref, _ = merge_bodies(ref, params)
+    assert int(need) == 2  # both heavies live on shard 0 (slots 0 and 3)
     np.testing.assert_array_equal(np.asarray(out.alive),
                                   np.asarray(ref.alive))
     np.testing.assert_allclose(np.asarray(out.mass), np.asarray(ref.mass),
@@ -98,7 +99,7 @@ def test_sharded_pm_matches_single_device(rng):
     m = mesh_lib.make_mesh()
     sstate = reshard_by_hilbert(state, m, cfg)
     step = make_sharded_pm_step(m, cfg)
-    out = step(sstate, params, n_steps=2)
+    out, _ = step(sstate, params, n_steps=2)
 
     # single-chip reference on the SAME (resharded) ordering
     ref_state = jax.device_put(jax.tree.map(np.asarray, sstate))

@@ -55,17 +55,28 @@ def _next_pow2(x: int) -> int:
 
 @dataclasses.dataclass
 class Caps:
-    """Runtime-tunable static caps for the BH traversal lists."""
+    """Runtime-tunable static caps for the BH tree build + traversal lists.
+
+    ``num_nodes`` (the flat node table size) and ``group_size`` (max bodies
+    per traversal group) live here rather than only in SimConfig so the
+    engine can grow them on overflow: a saturated node table silently
+    truncates deep tree levels, and a max-depth leaf bigger than group_size
+    would fall outside every traversal group (zero force) — both are
+    reported by TraversalStats and retuned exactly like the list caps.
+    """
     approx_cap: int
     leaf_list_cap: int
     direct_body_cap: int
     frontier_cap: int
     group_cap: int
+    num_nodes: int
+    group_size: int
 
     @classmethod
     def from_config(cls, cfg: SimConfig) -> "Caps":
         return cls(cfg.approx_cap, cfg.leaf_list_cap, cfg.direct_body_cap,
-                   cfg.frontier_cap, cfg.num_groups)
+                   cfg.frontier_cap, cfg.num_groups, cfg.num_nodes,
+                   cfg.group_size)
 
     def as_dict(self):
         return dataclasses.asdict(self)
@@ -81,6 +92,12 @@ class Caps:
             direct_body_cap=bump(self.direct_body_cap, stats.direct_need),
             frontier_cap=bump(self.frontier_cap, stats.frontier_need),
             group_cap=bump(self.group_cap, stats.group_need),
+            num_nodes=bump(self.num_nodes, stats.node_need),
+            # exact bound, no doubling: need = largest leaf population
+            group_size=(max(self.group_size,
+                            _next_pow2(int(stats.group_size_need)))
+                        if int(stats.group_size_need) > self.group_size
+                        else self.group_size),
         )
 
 
@@ -99,12 +116,12 @@ def make_bh_accel(cfg: SimConfig, caps: Caps, strict_parity: bool = False):
                       & (pos[:, 1] >= origin[1]) & (pos[:, 1] < origin[1] + side))
             mass_exert = jnp.where(inside, mass, 0.0)
         t = tree_lib.build_tree(pos, mass_exert, alive, origin, side,
-                                num_nodes=cfg.num_nodes,
+                                num_nodes=caps.num_nodes,
                                 leaf_size=cfg.leaf_size,
                                 max_depth=cfg.max_depth)
         return traverse.bh_accel_from_tree(
             t, params.theta, params.soft2, params.G,
-            group_size=cfg.group_size, group_cap=caps.group_cap,
+            group_size=caps.group_size, group_cap=caps.group_cap,
             max_depth=cfg.max_depth, frontier_cap=caps.frontier_cap,
             approx_cap=caps.approx_cap, leaf_list_cap=caps.leaf_list_cap,
             direct_body_cap=caps.direct_body_cap,
@@ -114,18 +131,32 @@ def make_bh_accel(cfg: SimConfig, caps: Caps, strict_parity: bool = False):
 
 
 def make_pm_accel(cfg: SimConfig):
-    """accel via the P3M mesh solver (see tpu_nbody.ops.mesh)."""
+    """accel via the P3M mesh solver (see tpu_nbody.ops.mesh).
+
+    The returned function carries a ``prepare(params)`` attribute that
+    precomputes the long-range kernel FFTs; the step builder calls it once
+    per jitted step_n (outside the scan) and passes the result back via
+    ``kernel=`` so the two padded-grid rfft2s are not redone every force
+    pass (they only depend on static config + soft2).
+    """
     ox, oy = cfg.root_center
     origin = (ox - cfg.root_half, oy - cfg.root_half)
     side = 2.0 * cfg.root_half
 
-    def accel(pos, mass, alive, params):
+    def prepare(params):
+        return mesh_lib.kernel_hats_for(
+            side, params.soft2, mesh_level=cfg.mesh_level,
+            split_cells=cfg.mesh_split, dtype=cfg.jdtype)
+
+    def accel(pos, mass, alive, params, kernel=None):
         acc = mesh_lib.pm_accel(
             pos, mass, alive, params.G, params.soft2, origin, side,
             mesh_level=cfg.mesh_level, split_cells=cfg.mesh_split,
             band=cfg.mesh_band, chunk=min(cfg.mesh_chunk, cfg.capacity),
-            order=cfg.mesh_order)
+            order=cfg.mesh_order, kernel=kernel)
         return acc, None
+
+    accel.prepare = prepare
     return accel
 
 
@@ -147,7 +178,12 @@ _INTEGRATORS = {
 def make_step_fn(cfg: SimConfig, caps: Caps, solver: str, integrator: str,
                  strict_parity: bool, merge_heavy_cap: int,
                  allpairs_impl: str = "auto") -> Callable:
-    """Build step_n(state, params, n_steps static) -> (state, stats)."""
+    """Build step_n(state, params, n_steps static) -> (state, stats).
+
+    ``stats`` is a dict ``{"trav": TraversalStats | None, "heavy_need": i32}``
+    max-reduced over the executed steps; the engine uses it to retune the
+    traversal caps and the merge heavy cap on overflow.
+    """
     if solver == "bh":
         accel_stats = make_bh_accel(cfg, caps, strict_parity)
     elif solver == "allpairs":
@@ -158,9 +194,18 @@ def make_step_fn(cfg: SimConfig, caps: Caps, solver: str, integrator: str,
         raise ValueError(f"unknown solver {solver!r}")
 
     stats_holder = []
+    prepare = getattr(accel_stats, "prepare", None)
+    # Set per step_n trace (before any accel call); inside the scan the
+    # prepared value is a loop constant, so e.g. the P3M kernel FFTs are
+    # computed once per step_n call instead of per force pass.
+    aux_cell = [None]
 
     def accel(pos, mass, alive, params):
-        acc, st = accel_stats(pos, mass, alive, params)
+        if prepare is None:
+            acc, st = accel_stats(pos, mass, alive, params)
+        else:
+            acc, st = accel_stats(pos, mass, alive, params,
+                                  kernel=aux_cell[0])
         stats_holder.append(st)
         return acc
 
@@ -176,11 +221,14 @@ def make_step_fn(cfg: SimConfig, caps: Caps, solver: str, integrator: str,
             del stats_holder[:]
             state = int_step(state, params, accel)
             st = functools.reduce(max_stats, stats_holder, None)
-            state = merge_bodies(state, params, heavy_cap=merge_heavy_cap)
-            return state, st
+            state, heavy = merge_bodies(state, params,
+                                        heavy_cap=merge_heavy_cap)
+            return state, {"trav": st, "heavy_need": heavy}
 
         @functools.partial(jax.jit, static_argnames=("n_steps",))
         def step_n(state: SimState, params: Params, n_steps: int = 1):
+            aux_cell[0] = prepare(params) if prepare is not None else None
+
             def body(carry, _):
                 st, acc_stats = carry
                 st, s = one_step(st, params)
@@ -200,14 +248,18 @@ def make_step_fn(cfg: SimConfig, caps: Caps, solver: str, integrator: str,
             del stats_holder[:]
             state, acc = integrate.kdk_reuse_step(state, acc, params, accel)
             st = functools.reduce(max_stats, stats_holder, None)
-            state = merge_bodies(state, params, heavy_cap=merge_heavy_cap)
-            return state, acc, st
+            state, heavy = merge_bodies(state, params,
+                                        heavy_cap=merge_heavy_cap)
+            return state, acc, {"trav": st, "heavy_need": heavy}
 
         @functools.partial(jax.jit, static_argnames=("n_steps",))
         def step_n(state: SimState, params: Params, n_steps: int = 1):
+            aux_cell[0] = prepare(params) if prepare is not None else None
             del stats_holder[:]
             acc0 = accel(state.pos, state.mass, state.alive, params)
-            seed_st = functools.reduce(max_stats, stats_holder, None)
+            seed_st = {"trav": functools.reduce(max_stats, stats_holder,
+                                                None),
+                       "heavy_need": jnp.int32(0)}
 
             state, acc, st = one_step(state, acc0, params)
             st = max_stats(seed_st, st)
@@ -246,6 +298,7 @@ class Engine:
         self.key = jax.random.PRNGKey(seed)
         self.state = state_lib.empty_state(cfg.capacity, cfg.dim, cfg.jdtype)
         self.last_stats: traverse.TraversalStats | None = None
+        self.last_heavy_need: int = 0
         self._step_fn = None
 
     # ------------------------------------------------------------ stepping
@@ -258,30 +311,48 @@ class Engine:
         self.key, sub = jax.random.split(self.key)
         return sub
 
+    def _record_stats(self, stats):
+        stats = jax.tree.map(np.asarray, stats)
+        self.last_stats = stats["trav"]
+        self.last_heavy_need = int(stats["heavy_need"])
+        return stats
+
+    def _overflowed(self, stats) -> bool:
+        if int(stats["heavy_need"]) > self.merge_heavy_cap:
+            return True
+        trav = stats["trav"]
+        return trav is not None and bool(trav.overflowed(self.caps.as_dict()))
+
     def step(self, n: int = 1):
         """Advance ``n`` steps (one jit call). Auto-retunes caps on overflow."""
         if self._step_fn is None:
             self._build_step()
         new_state, stats = self._step_fn(self.state, self.params, n_steps=n)
-        if stats is not None:
-            stats = jax.tree.map(lambda x: np.asarray(x), stats)
-            self.last_stats = stats
-            # Overflow means interactions were dropped: retune caps and redo
-            # from the pre-step state. Iterate — a truncated frontier hides
-            # deeper-level needs, so one growth round may reveal more.
-            rounds = 0
-            while (self.auto_retune and rounds < 6
-                   and bool(stats.overflowed(self.caps.as_dict()))):
-                grown = self.caps.grown(stats)
-                if grown == self.caps:
-                    break
-                self.caps = grown
-                self._build_step()
-                new_state, stats = self._step_fn(
-                    self.state, self.params, n_steps=n)
-                stats = jax.tree.map(np.asarray, stats)
-                self.last_stats = stats
-                rounds += 1
+        stats = self._record_stats(stats)
+        # Overflow means interactions (or merge absorbers) were dropped:
+        # retune caps and redo from the pre-step state. Iterate — a truncated
+        # frontier hides deeper-level needs, so one growth round may reveal
+        # more.
+        rounds = 0
+        while (self.auto_retune and rounds < 6 and self._overflowed(stats)):
+            progressed = False
+            if stats["trav"] is not None:
+                grown = self.caps.grown(stats["trav"])
+                if grown != self.caps:
+                    self.caps = grown
+                    progressed = True
+            heavy = int(stats["heavy_need"])
+            if heavy > self.merge_heavy_cap:
+                self.merge_heavy_cap = min(self.cfg.capacity,
+                                           _next_pow2(2 * heavy))
+                progressed = True
+            if not progressed:
+                break
+            self._build_step()
+            new_state, stats = self._step_fn(
+                self.state, self.params, n_steps=n)
+            stats = self._record_stats(stats)
+            rounds += 1
         self.state = new_state
         return self.state
 
@@ -356,7 +427,7 @@ class Engine:
         t = tree_lib.build_tree(
             self.state.pos, jnp.where(self.state.alive, self.state.mass, 0.0),
             self.state.alive, origin, 2.0 * self.cfg.root_half,
-            num_nodes=self.cfg.num_nodes, leaf_size=self.cfg.leaf_size,
+            num_nodes=self.caps.num_nodes, leaf_size=self.cfg.leaf_size,
             max_depth=self.cfg.max_depth)
         center, side, valid = tree_lib.debug_boxes(t)
         v = np.asarray(valid)

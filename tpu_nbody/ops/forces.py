@@ -141,10 +141,14 @@ def accel_allpairs(pos, mass, G, soft2, *, implementation: str = "auto"):
 
 
 def potential_energy(pos, mass, G, soft2, chunk=1024):
-    """Total softened potential energy, consistent with the force law.
+    """Total softened (Plummer) potential energy, consistent with the force.
 
-    The reference force magnitude is f(r) = G m M / (r^2 + eps^2), whose
-    potential is U(r) = -G m M (pi/2 - atan(r/eps)) / eps (for eps > 0).
+    The implemented pair acceleration is a(d) = G M d / (|d|^2 + eps^2)^{3/2}
+    (``BarnesHutAlg.kt:250-259``, ``gpu/GPU.kt:139-142``), which is exactly
+    the gradient of the Plummer pair potential
+
+        U(r) = -G m M / sqrt(r^2 + eps^2)    (-G m M / r for eps = 0).
+
     Used by the energy-drift harness; the reference itself has no energy
     diagnostics (SURVEY §5.5).
     """
@@ -152,18 +156,13 @@ def potential_energy(pos, mass, G, soft2, chunk=1024):
     npad = _round_up(n, chunk)
     posp = jnp.zeros((npad, dim), pos.dtype).at[:n].set(pos)
     massp = jnp.zeros((npad,), mass.dtype).at[:n].set(mass)
-    eps = jnp.sqrt(soft2)
     idx = jnp.arange(npad)
 
     def one_chunk(args):
         p_chunk, m_chunk, i_chunk = args
         d = posp[None, :, :] - p_chunk[:, None, :]
-        r = jnp.sqrt(jnp.sum(d * d, axis=-1))
-        u = jnp.where(
-            soft2 > 0,
-            -(jnp.pi / 2 - jnp.arctan2(r, eps)) / jnp.maximum(eps, 1e-30),
-            -1.0 / jnp.maximum(r, 1e-30),
-        )
+        r2 = jnp.sum(d * d, axis=-1) + soft2
+        u = -jax.lax.rsqrt(jnp.maximum(r2, 1e-30))
         pair = m_chunk[:, None] * massp[None, :] * u
         self_mask = i_chunk[:, None] == idx[None, :]
         return jnp.sum(jnp.where(self_mask, 0.0, pair))

@@ -21,6 +21,12 @@ with two rounds instead of a full sequential scan, and a body absorbed this
 step cannot push its absorber's subsequent same-step absorptions (those
 happen next step). Both need >=3 heavies within 8px of each other — not
 reachable from the reference's default scenes.
+
+The reference scans EVERY heavy (``BarnesHutAlg.kt:463-532``); the static
+``heavy_cap`` compression would silently drop the lightest absorbers past the
+cap, so :func:`merge_bodies` also returns ``heavy_need`` — the number of
+qualifying heavies — and the engine grows ``heavy_cap`` (and recompiles)
+whenever ``heavy_need > heavy_cap``, exactly like the traversal caps.
 """
 
 from __future__ import annotations
@@ -34,9 +40,18 @@ from tpu_nbody.state import SimState
 
 
 @functools.partial(jax.jit, static_argnames=("heavy_cap",))
-def merge_bodies(state: SimState, params, heavy_cap: int = 64) -> SimState:
+def merge_bodies(state: SimState, params,
+                 heavy_cap: int = 64) -> tuple[SimState, jax.Array]:
+    """Apply the absorb rule. Returns (state, heavy_need).
+
+    ``heavy_need`` counts the alive bodies above ``merge_max_mass``; when it
+    exceeds ``heavy_cap`` the lightest heavies did not get to absorb this
+    step and the caller should retry with a larger cap.
+    """
     cap = state.capacity
     heavy_cap = min(heavy_cap, cap)
+    heavy_need = jnp.sum(
+        (state.alive & (state.mass > params.merge_max_mass)).astype(jnp.int32))
 
     def run(state):
         md2 = params.merge_min_dist * params.merge_min_dist
@@ -81,4 +96,5 @@ def merge_bodies(state: SimState, params, heavy_cap: int = 64) -> SimState:
         return state._replace(mass=mass, alive=alive)
 
     enabled = (params.merge_min_dist > 0) & (state.n_alive() > 1)
-    return jax.lax.cond(enabled, run, lambda s: s, state)
+    out = jax.lax.cond(enabled, run, lambda s: s, state)
+    return out, jnp.where(enabled, heavy_need, 0)

@@ -61,8 +61,13 @@ class TraversalStats(NamedTuple):
     leaf_need: jax.Array
     direct_need: jax.Array
     frontier_need: jax.Array
-    group_need: jax.Array      # number of groups actually formed
-    node_saturated: jax.Array  # bool: tree node table filled up
+    group_need: jax.Array       # number of groups actually formed
+    node_need: jax.Array        # tree nodes the scene requires (> num_nodes
+                                # means the build truncated deep levels)
+    group_size_need: jax.Array  # max bodies in any LEAF: a childless node
+                                # bigger than group_size can't join any group
+                                # and its bodies would get zero force, so
+                                # coverage requires group_size >= this
 
     def overflowed(self, caps) -> jax.Array:
         return ((self.approx_need > caps["approx_cap"])
@@ -70,7 +75,8 @@ class TraversalStats(NamedTuple):
                 | (self.direct_need > caps["direct_body_cap"])
                 | (self.frontier_need > caps["frontier_cap"])
                 | (self.group_need > caps["group_cap"])
-                | self.node_saturated)
+                | (self.node_need > caps["num_nodes"])
+                | (self.group_size_need > caps["group_size"]))
 
 
 def make_groups(tree: Tree, group_size: int, group_cap: int):
@@ -308,8 +314,14 @@ def bh_accel_from_tree(tree: Tree, theta, soft2, G, *, group_size: int,
 
     maxes = (jnp.max(a_len), jnp.max(l_len), jnp.max(d_need),
              jnp.max(f_need))
+    # Coverage guard (see TraversalStats): the largest leaf population.
+    # Only a max-depth leaf can exceed leaf_size, so this stays small unless
+    # the scene collapses > group_size bodies into one max-depth cell.
+    node_valid = jnp.arange(NC, dtype=jnp.int32) < tree.n_nodes
+    leaf_max = jnp.max(jnp.where(node_valid & (tree.child < 0),
+                                 tree.count, 0))
     stats = TraversalStats(
         approx_need=maxes[0], leaf_need=maxes[1], direct_need=maxes[2],
         frontier_need=maxes[3], group_need=n_groups,
-        node_saturated=tree.n_nodes >= NC)
+        node_need=tree.node_need, group_size_need=leaf_max)
     return G * acc, stats

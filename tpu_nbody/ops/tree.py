@@ -60,7 +60,10 @@ class Tree(NamedTuple):
     parent: jax.Array      # (NC,) int32 parent node, -1 for root
     mass: jax.Array        # (NC,) float total subtree mass
     com: jax.Array         # (NC, 2) float subtree center of mass
-    n_nodes: jax.Array     # () int32 nodes actually in use
+    n_nodes: jax.Array     # () int32 nodes actually in use (clipped to NC)
+    node_need: jax.Array   # () int32 nodes the scene actually requires
+                           # (unclipped; > NC means the table saturated and
+                           # deep levels were truncated — grow num_nodes)
     # Packed per-node row for single-gather traversal: the backend moves a
     # multi-lane row at the same rate as one scalar, so fetching
     # [mass, comx, comy, cx, cy, side, child, nchild, start, count] as ONE
@@ -154,7 +157,9 @@ def build_tree(pos, mass_exert, alive, origin, root_side, *, num_nodes: int,
 
     # level offsets (traced scalars)
     offsets = [jnp.int32(0)]
+    node_need = jnp.int32(0)
     for l in range(max_depth + 1):
+        node_need = node_need + lv[l]["n"]
         offsets.append(jnp.minimum(offsets[-1] + lv[l]["n"], NC))
     n_nodes = offsets[-1]
 
@@ -274,7 +279,7 @@ def build_tree(pos, mass_exert, alive, origin, root_side, *, num_nodes: int,
     return Tree(code=code_t[:NC], level=level_t[:NC], start=start_t[:NC],
                 count=count_t[:NC], child=child_t[:NC],
                 n_children=nchild_t[:NC], parent=parent_t[:NC],
-                mass=m_t[:NC], com=com, n_nodes=n_nodes,
+                mass=m_t[:NC], com=com, n_nodes=n_nodes, node_need=node_need,
                 node_rows=node_rows, body_rows=body_rows, spos=spos,
                 smass=smass, sidx=order.astype(jnp.int32),
                 unsort=unsort.astype(jnp.int32), n_alive=n_alive,

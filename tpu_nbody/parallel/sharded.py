@@ -59,13 +59,21 @@ def ring_allpairs_accel(pos, mass, G, soft2, *, axis=BODY_AXIS, n_shards: int):
 
 def _merge_sharded(state: SimState, params: Params, *, axis, n_shards,
                    heavy_cap_local: int):
-    """Sharded absorb rule (see ops/merge.py for semantics + citations)."""
+    """Sharded absorb rule (see ops/merge.py for semantics + citations).
+
+    Returns ``(state, heavy_need)``: the max per-shard count of qualifying
+    heavies (identical on every shard via pmax). When it exceeds
+    ``heavy_cap_local`` the lightest local heavies were silently excluded
+    from absorbing — the caller should rebuild with a larger cap.
+    """
     nl = state.pos.shape[0]  # local slots
     shard = jax.lax.axis_index(axis)
     gidx_local = shard * nl + jnp.arange(nl)  # global body ids
     md2 = params.merge_min_dist * params.merge_min_dist
 
     heavy = state.alive & (state.mass > params.merge_max_mass)
+    heavy_need = jax.lax.pmax(jnp.sum(heavy.astype(jnp.int32)), axis)
+    heavy_need = jnp.where(params.merge_min_dist > 0, heavy_need, 0)
     key = jnp.where(heavy, state.mass, -jnp.inf)
     _, hloc = jax.lax.top_k(key, heavy_cap_local)
     hvalid = heavy[hloc]
@@ -78,7 +86,8 @@ def _merge_sharded(state: SimState, params: Params, *, axis, n_shards,
     all_hvalid = jax.lax.all_gather(hvalid, axis).reshape(-1)
 
     d = state.pos[:, None, :] - all_hpos[None, :, :]
-    close = jnp.sum(d * d, axis=-1) < md2
+    # merge_min_dist <= 0 disables merging (BarnesHutAlg.kt:465).
+    close = (jnp.sum(d * d, axis=-1) < md2) & (params.merge_min_dist > 0)
     eligible = (close & all_hvalid[None, :] & state.alive[:, None]
                 & (gidx_local[:, None] != all_hgidx[None, :]))
 
@@ -114,7 +123,7 @@ def _merge_sharded(state: SimState, params: Params, *, axis, n_shards,
         jnp.where(mine, gained, 0.0), mode="drop")
     mass = jnp.where(is_victim, 0.0, mass)
     alive = state.alive & ~is_victim
-    return state._replace(mass=mass, alive=alive)
+    return state._replace(mass=mass, alive=alive), heavy_need
 
 
 def make_sharded_step(mesh: Mesh, *, integrator: str = "kdk",
@@ -132,7 +141,7 @@ def make_sharded_step(mesh: Mesh, *, integrator: str = "kdk",
         return ring_allpairs_accel(pos, m, params.G, params.soft2,
                                    axis=axis, n_shards=n_shards)
 
-    def local_step(state: SimState, params: Params) -> SimState:
+    def local_step(state: SimState, params: Params):
         a = accel(state.pos, state.mass, state.alive, params)
         half = params.dt * 0.5
         if integrator == "kdk":
@@ -159,15 +168,24 @@ def make_sharded_step(mesh: Mesh, *, integrator: str = "kdk",
         return jax.shard_map(
             local_step, mesh=mesh,
             in_specs=(state_specs, param_specs),
-            out_specs=state_specs,
+            out_specs=(state_specs, P()),
             check_vma=False,
         )(state, params)
 
     @functools.partial(jax.jit, static_argnames=("n_steps",))
     def step_n(state: SimState, params: Params, n_steps: int = 1):
+        """Returns (state, heavy_need) — max over the executed steps."""
+        state, heavy = one(state, params)
         if n_steps == 1:
-            return one(state, params)
-        return jax.lax.scan(lambda s, _: (one(s, params), None), state,
-                            None, length=n_steps)[0]
+            return state, heavy
+
+        def body(carry, _):
+            s, h = carry
+            s, h2 = one(s, params)
+            return (s, jnp.maximum(h, h2)), None
+
+        (state, heavy), _ = jax.lax.scan(body, (state, heavy), None,
+                                         length=n_steps - 1)
+        return state, heavy
 
     return step_n

@@ -41,7 +41,8 @@ from tpu_nbody.state import SimState
 
 
 def _pm_accel_local(pos, mass, alive, G, soft2, origin, root_side, *,
-                    mesh_level, split_cells, band, chunk, axis, n_shards):
+                    mesh_level, split_cells, band, chunk, axis, n_shards,
+                    kernel=None):
     """P3M acceleration for the local body shard (inside shard_map)."""
     dtype = pos.dtype
     origin = jnp.asarray(origin, dtype)
@@ -74,7 +75,9 @@ def _pm_accel_local(pos, mass, alive, G, soft2, origin, root_side, *,
     rho = jax.lax.psum(rho.reshape(grid, grid), axis)
 
     # ---- FFT force grids (replicated compute) + local CIC interp ----
-    kx_hat, ky_hat = mesh_ops._kernel_hats(grid, h, soft2, a, dtype)
+    if kernel is None:
+        kernel = mesh_ops._kernel_hats(grid, h, soft2, a, dtype)
+    kx_hat, ky_hat = kernel
     rho_hat = jnp.fft.rfft2(rho)
     fx = jnp.fft.irfft2(rho_hat * kx_hat, s=(grid, grid))
     fy = jnp.fft.irfft2(rho_hat * ky_hat, s=(grid, grid))
@@ -137,21 +140,21 @@ def make_sharded_pm_step(mesh: Mesh, cfg: SimConfig, *,
     origin = (ox - cfg.root_half, oy - cfg.root_half)
     side = 2.0 * cfg.root_half
 
-    def accel(pos, mass, alive, params):
+    def accel(pos, mass, alive, params, kernel):
         return _pm_accel_local(
             pos, jnp.where(alive, mass, 0.0), alive, params.G, params.soft2,
             origin, side, mesh_level=cfg.mesh_level,
             split_cells=cfg.mesh_split, band=cfg.mesh_band,
             chunk=min(cfg.mesh_chunk, cfg.capacity // n_shards),
-            axis=axis, n_shards=n_shards)
+            axis=axis, n_shards=n_shards, kernel=kernel)
 
-    def local_step(state: SimState, params: Params) -> SimState:
-        a = accel(state.pos, state.mass, state.alive, params)
+    def local_step(state: SimState, params: Params, kernel):
+        a = accel(state.pos, state.mass, state.alive, params, kernel)
         half = params.dt * 0.5
         if integrator == "kdk":
             vel = state.vel + a * half
             pos = state.pos + vel * params.dt
-            a2 = accel(pos, state.mass, state.alive, params)
+            a2 = accel(pos, state.mass, state.alive, params, kernel)
             vel = vel + a2 * half
         elif integrator == "euler":
             vel = state.vel + a * params.dt
@@ -168,19 +171,34 @@ def make_sharded_pm_step(mesh: Mesh, cfg: SimConfig, *,
                            alive=sharded, step=P())
     param_specs = jax.tree.map(lambda _: P(), Params.default())
 
-    def one(state, params):
+    def one(state, params, kernel):
         return jax.shard_map(
             local_step, mesh=mesh,
-            in_specs=(state_specs, param_specs),
-            out_specs=state_specs,
+            in_specs=(state_specs, param_specs, (P(), P())),
+            out_specs=(state_specs, P()),
             check_vma=False,
-        )(state, params)
+        )(state, params, kernel)
 
     @functools.partial(jax.jit, static_argnames=("n_steps",))
     def step_n(state: SimState, params: Params, n_steps: int = 1):
+        """Returns (state, heavy_need) — max over the executed steps."""
+        # Long-range kernel FFTs hoisted out of the step loop (they depend
+        # only on static config + soft2); inside the scan they are loop
+        # constants, replicated across shards.
+        kernel = mesh_ops.kernel_hats_for(
+            side, params.soft2, mesh_level=cfg.mesh_level,
+            split_cells=cfg.mesh_split, dtype=cfg.jdtype)
+        state, heavy = one(state, params, kernel)
         if n_steps == 1:
-            return one(state, params)
-        return jax.lax.scan(lambda s, _: (one(s, params), None), state,
-                            None, length=n_steps)[0]
+            return state, heavy
+
+        def body(carry, _):
+            s, h = carry
+            s, h2 = one(s, params, kernel)
+            return (s, jnp.maximum(h, h2)), None
+
+        (state, heavy), _ = jax.lax.scan(body, (state, heavy), None,
+                                         length=n_steps - 1)
+        return state, heavy
 
     return step_n
