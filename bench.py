@@ -2,10 +2,12 @@
 
 Runs the P3M mesh solver by default (kdk_reuse: one force pass per step,
 plus the merge pass) on the two-disk galaxy collision scaled to N total
-bodies, at force accuracy comparable to Barnes-Hut theta~1 on this scene
-(mesh_level=12: mean relative force error ~1.2e-3, p99 ~1.1e-2 vs exact —
-see tests/test_mesh.py; the theta-exact BH solver is selectable with
---solver bh). Prints ONE JSON line:
+bodies, at the BH theta=0.5-equivalent accuracy point the BASELINE metric
+specifies: mesh_level=12 / split=6 / band=512 / rescue_k=12 measures mean
+relative force error 3.16e-4 (p50 8.7e-5, p99 3.0e-3) against the exact
+softened all-pairs force on this exact N=1M scene (BH theta=0.5 on it: mean
+3.6e-4). The theta-exact BH solver is selectable with --solver bh. Prints
+ONE JSON line:
 
     {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
 
@@ -57,7 +59,9 @@ def main():
             frontier_cap=1024 if big_bh else 512,
             leaf_list_cap=512 if big_bh else 256,
             mesh_level=10 if args.small else 12,
-            mesh_band=256,
+            mesh_split=4.0 if args.small else 6.0,
+            mesh_band=256 if args.small else 512,
+            mesh_rescue=4 if args.small else 12,
             mesh_chunk=min(16384, cap),
         )
         params = Params.default(theta=args.theta)
@@ -114,7 +118,9 @@ def main():
 
     n_alive = int(eng.state.n_alive())
     updates_per_sec = n_alive * args.steps / dt
-    acc_note = ("force err ~8.5e-4 (~BH theta 0.9)" if args.solver == "pm"
+    acc_note = ("force err 3.2e-4 (BH theta=0.5 equiv)" if args.solver == "pm"
+                and not args.small else
+                "pm small" if args.solver == "pm"
                 else f"theta={args.theta}" if args.solver == "bh"
                 else "exact")
     result = {

@@ -62,7 +62,23 @@ def main():
     txt = ax.text(2, 2, "", va="top", color="#00ff00", fontsize=7,
                   family="monospace")
     ax.axis("off")
-    state = {"drag": None, "fps": 0.0, "frames": 0, "t0": time.time()}
+    state = {"drag": None, "cursor": None, "fps": 0.0, "frames": 0,
+             "t0": time.time()}
+
+    # D-key quadtree overlay: each quad's left + top edge, like
+    # NBodyPanel.kt:327-344 (green outlines over the scene).
+    from matplotlib.collections import LineCollection
+    tree_lines = LineCollection([], colors="#00c000", linewidths=0.4,
+                                alpha=0.6)
+    ax.add_collection(tree_lines)
+    # Drag preview: dashed velocity line + insertion-radius circle
+    # (NBodyPanel.kt:310-324); the circle radius is hud.disk_r — the SAME
+    # value the release handler inserts with, like the reference's uiR.
+    from matplotlib.patches import Circle
+    drag_line, = ax.plot([], [], "--", color="#00ff00", linewidth=1.0)
+    drag_circle = Circle((0, 0), 1.0, fill=False, color="#00ff00",
+                         linewidth=1.0, visible=False)
+    ax.add_patch(drag_circle)
 
     def on_key(event):
         k = (event.key or "").upper()
@@ -90,8 +106,12 @@ def main():
         else:
             state["drag"] = (event.xdata, event.ydata, event.button)
 
+    def on_motion(event):
+        state["cursor"] = (event.xdata, event.ydata)
+
     def on_release(event):
         if state["drag"] is None or event.xdata is None:
+            state["drag"] = None
             return
         sx, sy, button = state["drag"]
         state["drag"] = None
@@ -112,6 +132,7 @@ def main():
     fig.canvas.mpl_connect("key_press_event", on_key)
     fig.canvas.mpl_connect("button_press_event", on_press)
     fig.canvas.mpl_connect("button_release_event", on_release)
+    fig.canvas.mpl_connect("motion_notify_event", on_motion)
     fig.canvas.mpl_connect("scroll_event", on_scroll)
 
     def tick(_):
@@ -121,8 +142,36 @@ def main():
             eng.state.pos, eng.state.vel, eng.state.mass, eng.state.alive,
             width=args.width, height=args.height, view_x=vp.view_x,
             view_y=vp.view_y, zoom=vp.zoom, mode="speed",
-            speed_scale=1 / 300.0)
+            speed_scale=1 / 300.0, size_mass_scale=1e-4)
         im.set_data(np.asarray(render.to_uint8(fb)))
+
+        if hud.show_tree:
+            center, side = eng.tree_boxes()
+            # left + top edge of each quad, world -> screen
+            x0 = (center[:, 0] - side / 2 - vp.view_x) * vp.zoom
+            y0 = (center[:, 1] - side / 2 - vp.view_y) * vp.zoom
+            x1 = x0 + side * vp.zoom
+            y1 = y0 + side * vp.zoom
+            segs = [[(x, ya, x, yb) for x, ya, yb in zip(x0, y0, y1)],
+                    [(xa, y, xb, y) for xa, xb, y in zip(x0, x1, y0)]]
+            tree_lines.set_segments(
+                [((sx0, sy0), (sx1, sy1))
+                 for part in segs for sx0, sy0, sx1, sy1 in part])
+        else:
+            tree_lines.set_segments([])
+
+        if state["drag"] is not None and state["cursor"] is not None \
+                and state["cursor"][0] is not None:
+            sx, sy, button = state["drag"]
+            cx, cy = state["cursor"]
+            drag_line.set_data([sx, cx], [sy, cy])
+            drag_circle.set_center((sx, sy))
+            drag_circle.set_radius(hud.disk_r * vp.zoom)
+            drag_circle.set_visible(button == 1)
+        else:
+            drag_line.set_data([], [])
+            drag_circle.set_visible(False)
+
         state["frames"] += 1
         now = time.time()
         if now - state["t0"] >= 1.0:

@@ -48,10 +48,14 @@ def test_two_body_far_field():
     G, soft2, d = 80.0, 1.0, 1000.0
     acc = mesh.pm_accel(pos, mass, alive, G, soft2, origin, side,
                         mesh_level=9, split_cells=2.5, band=4, chunk=8)
+    # atol covers the transverse leakage of the least-squares potential
+    # kernel (mesh._kernel_hats): the FD-gradient projection is anisotropic
+    # at the ~1e-3-of-force level for this deliberately coarse level-9 /
+    # split-2.5 config (it shrinks with split^2; the bench config uses 4+).
     np.testing.assert_allclose(np.asarray(acc)[0], [G * 200 / (d * d + 1), 0],
-                               rtol=2e-3, atol=1e-5)
+                               rtol=2e-3, atol=2.5e-5)
     np.testing.assert_allclose(np.asarray(acc)[1], [-G * 100 / (d * d + 1), 0],
-                               rtol=2e-3, atol=1e-5)
+                               rtol=2e-3, atol=2.5e-5)
     # dead slots get zero
     assert (np.asarray(acc)[2:] == 0).all()
 
@@ -94,6 +98,66 @@ def test_accuracy_improves_with_mesh_level():
                / (np.linalg.norm(ref, axis=-1) + 1e-9))[np.asarray(alive)]
         errs.append(rel.mean())
     assert errs[1] < errs[0]
+
+
+def test_rescue_band_no_double_counting():
+    """With a band already covering every pair, the rescue pass adds ~zero.
+
+    The rescue pass must sum ONLY pairs whose first-pass blocks are more
+    than one apart; when band == cap there is a single first-pass block, so
+    every pair is covered and the rescue contribution must vanish.
+    """
+    n, cap = 300, 512
+    p, v, m = scenes.make_galaxy_disk(jax.random.PRNGKey(5), n, r=300.0)
+    pos = jnp.zeros((cap, 2)).at[:n].set(p)
+    mass = jnp.zeros((cap,)).at[:n].set(m)
+    alive = jnp.arange(cap) < n
+    cfg = SimConfig(capacity=cap)
+    origin, side = _origin_side(cfg)
+    kw = dict(mesh_level=9, split_cells=2.5, chunk=512)
+    a0 = np.asarray(mesh.pm_accel(pos, mass, alive, 80.0, 1.0, origin, side,
+                                  band=cap, rescue_k=0, **kw))
+    a1 = np.asarray(mesh.pm_accel(pos, mass, alive, 80.0, 1.0, origin, side,
+                                  band=cap, rescue_k=4, **kw))
+    np.testing.assert_allclose(a1, a0, rtol=1e-5, atol=1e-5)
+
+
+def test_rescue_band_catches_curve_boundary_pair():
+    """A close pair straddling the world-center Hilbert discontinuity.
+
+    Many filler bodies sit between the two on the curve, so a small band
+    misses their (dominant) short-range force; the block-bbox rescue pass
+    (mesh._block_rescue) must recover it. Without rescue the error on the
+    pair is order-one.
+    """
+    cap = 4096
+    cfg = SimConfig(capacity=cap)
+    origin, side = _origin_side(cfg)
+    cx, cy = cfg.root_center
+    key = jax.random.PRNGKey(11)
+    filler = jax.random.uniform(key, (cap - 2, 2), jnp.float32,
+                                cx - 900.0, cx + 900.0)
+    # the pair: 4 units apart, straddling the vertical center line
+    pos = jnp.concatenate([jnp.asarray([[cx - 2.0, cy + 300.0],
+                                        [cx + 2.0, cy + 300.0]],
+                                       jnp.float32), filler])
+    mass = jnp.full((cap,), 1.0, jnp.float32)
+    alive = jnp.ones((cap,), bool)
+    ref = np.asarray(forces.accel_allpairs(pos, mass, 80.0, 1.0,
+                                           implementation="xla"))
+    kw = dict(mesh_level=10, split_cells=3.0, band=32, chunk=4096)
+    a_no = np.asarray(mesh.pm_accel(pos, mass, alive, 80.0, 1.0, origin,
+                                    side, rescue_k=0, **kw))
+    a_yes, st = mesh.pm_accel(pos, mass, alive, 80.0, 1.0, origin,
+                              side, rescue_k=8, return_stats=True, **kw)
+    a_yes = np.asarray(a_yes)
+    assert int(st["rescue_need"]) <= 8   # coverage was exact
+    scale = np.linalg.norm(ref[0])
+    err_no = np.linalg.norm(a_no[:2] - ref[:2], axis=1).max() / scale
+    err_yes = np.linalg.norm(a_yes[:2] - ref[:2], axis=1).max() / scale
+    assert err_no > 0.2, err_no          # without rescue: pair force lost
+    assert err_yes < 0.05, err_yes       # with rescue: recovered
+    assert err_yes < err_no / 10
 
 
 def test_engine_pm_runs_and_conserves():

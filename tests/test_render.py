@@ -38,6 +38,28 @@ def test_classic_heavy_bodies_black():
     assert fb[1, 2].sum() == pytest.approx(0.0)   # heavy -> black (parity)
 
 
+def test_mass_scaled_splat_tiers():
+    """gpu/GPU.kt:226 point size: light 1px, mid 3x3 disc, heavy 5x5 disc."""
+    pos = jnp.asarray([[4.0, 4.0], [16.0, 4.0], [26.0, 4.0]])
+    vel = jnp.zeros((3, 2))
+    # size = 1 + 1e-3*m -> sizes 1.0 / 3.0 / 5.0 (clamped)
+    mass = jnp.asarray([10.0, 2000.0, 10_000.0])
+    alive = jnp.ones(3, bool)
+    fb = np.asarray(render.render_frame(pos, vel, mass, alive, width=32,
+                                        height=9, mode="speed",
+                                        size_mass_scale=1e-3))
+    lit = (fb.sum(axis=2) > 0)
+    assert lit[4, 4] and not lit[3, 4] and not lit[5, 4]     # 1 px
+    assert lit[3:6, 15:18].all()                             # 3x3 disc
+    assert not lit[2, 14] and not lit[6, 18]
+    assert lit[2:7, 24:29].sum() == 21                       # 5x5 minus corners
+    assert not lit[2, 24] and not lit[2, 28]                 # corners dark
+    # default path unchanged: single pixels
+    fb1 = np.asarray(render.render_frame(pos, vel, mass, alive, width=32,
+                                         height=9, mode="speed"))
+    assert (fb1.sum(axis=2) > 0).sum() == 3
+
+
 def test_speed_ramp_endpoints():
     v = jnp.asarray([[0.0, 0.0], [10_000.0, 0.0]])
     cols = np.asarray(render.speed_colors(v))

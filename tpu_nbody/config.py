@@ -84,6 +84,10 @@ class SimConfig:
     mesh_chunk: int = 16384        # bodies per band chunk (memory bound)
     mesh_order: int = 2            # mass assignment: 2 = CIC, 1 = NGP (faster,
                                    # ~20x noisier mesh force — see ops/mesh.py)
+    mesh_rescue: int = 4           # rescue partner blocks per band block
+                                   # (0 = off); exact recovery of short-range
+                                   # pairs split by Hilbert curve
+                                   # discontinuities — see ops/mesh.py
     dtype: str = "float32"
 
     @property

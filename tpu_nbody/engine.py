@@ -153,7 +153,7 @@ def make_pm_accel(cfg: SimConfig):
             pos, mass, alive, params.G, params.soft2, origin, side,
             mesh_level=cfg.mesh_level, split_cells=cfg.mesh_split,
             band=cfg.mesh_band, chunk=min(cfg.mesh_chunk, cfg.capacity),
-            order=cfg.mesh_order, kernel=kernel)
+            order=cfg.mesh_order, rescue_k=cfg.mesh_rescue, kernel=kernel)
         return acc, None
 
     accel.prepare = prepare

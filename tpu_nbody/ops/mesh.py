@@ -50,12 +50,26 @@ def _hilbert_sort(pos, mass, alive, origin, side):
 
 
 def _kernel_hats(grid, h, soft2, a, dtype):
-    """rfft2 of the sampled long-range force kernel (Kx, Ky).
+    """Spectral kernels for the long-range convolution: (Kx̂, Kŷ, φ̂).
 
-    Offsets are arranged in FFT (wrapped) order over the padded domain; the
-    kernel is odd so K(0) = 0 and there is no self-force. The convolution
-    computes F(x) = sum_j m_j K(x - x_j), so K(u) is the acceleration a
-    target at displacement u FROM the source feels: -u / (|u|^2 + eps^2)^1.5.
+    Kx̂/Kŷ are rfft2s of the sampled long-range force kernel. Offsets are
+    arranged in FFT (wrapped) order over the padded domain; the kernel is
+    odd so K(0) = 0 and there is no self-force. The convolution computes
+    F(x) = sum_j m_j K(x - x_j), so K(u) is the acceleration a target at
+    displacement u FROM the source feels: -u / (|u|^2 + eps^2)^1.5.
+
+    φ̂ is a least-squares *potential* kernel: the per-step convolution can
+    then run ONE inverse FFT (φ = irfft2(ρ̂·φ̂)) and recover (fx, fy) with a
+    6th-order finite-difference gradient — dense shifts — instead of two
+    inverse FFTs. φ̂ is fit so that the FD gradient reproduces (Kx̂, Kŷ)
+    exactly where a consistent potential exists:
+
+        D6x·φ̂ ≈ Kx̂,  D6y·φ̂ ≈ Kŷ  with  (D6 f)̂ = i·d6(k)·f̂,
+        d6(k) = (45·sin(kh) − 9·sin(2kh) + sin(3kh)) / (30h)
+        φ̂ = −i·(d6x·Kx̂ + d6y·Kŷ) / (d6x² + d6y²)   (6th-order)
+
+    The fit residual is the same O((kh)⁶) order as the FD truncation. Modes where both eigenvalues vanish (DC and Nyquist lines)
+    get φ̂ = 0; they carry no usable gradient information.
     """
     ix = jnp.arange(grid)
     off = jnp.where(ix <= grid // 2, ix, ix - grid).astype(dtype) * h
@@ -68,14 +82,27 @@ def _kernel_hats(grid, h, soft2, a, dtype):
     long_frac = 1.0 - jnp.exp(-((r / a) ** 4))
     kx = -dx * inv * long_frac
     ky = -dy * inv * long_frac
-    return jnp.fft.rfft2(kx), jnp.fft.rfft2(ky)
+    kx_hat = jnp.fft.rfft2(kx)
+    ky_hat = jnp.fft.rfft2(ky)
+    # FD eigenvalues on the rfft2 output layout: axis 0 full, axis 1 half.
+    tw = 2.0 * jnp.pi * jnp.arange(grid).astype(dtype) / grid
+    d6 = (45.0 * jnp.sin(tw) - 9.0 * jnp.sin(2.0 * tw)
+          + jnp.sin(3.0 * tw)) / (30.0 * h)
+    d6y = d6[:, None]
+    d6x = d6[None, : grid // 2 + 1]
+    den = d6x * d6x + d6y * d6y
+    safe = jnp.where(den > 0, den, 1.0)
+    phi_hat = jnp.where(den > 0,
+                        -1j * (d6x * kx_hat + d6y * ky_hat) / safe,
+                        0.0)
+    return kx_hat, ky_hat, phi_hat
 
 
 @functools.partial(jax.jit, static_argnames=("mesh_level", "split_cells",
                                               "dtype"))
 def kernel_hats_for(root_side, soft2, *, mesh_level: int, split_cells: float,
                     dtype=jnp.float32):
-    """Precompute the (Kx_hat, Ky_hat) long-range kernel FFTs.
+    """Precompute the (Kx_hat, Ky_hat, phi_hat) long-range kernel FFTs.
 
     They depend only on static config + per-run-constant ``soft2``, so hoist
     them out of the step loop: two full padded-grid rfft2s per force pass
@@ -137,6 +164,176 @@ def _band_short_range(spos, smass, soft2, a, *, band: int, chunk: int):
     return acc.reshape(n_chunks * cb * S, 2)[:cap]
 
 
+def _block_rescue(spos, smass, salive, soft2, a, *, band: int, k: int,
+                  chunk: int):
+    """Exact short-range rescue for pairs >1 block apart in sorted order.
+
+    The tri-diagonal band covers every pair within one ``band``-block in
+    Hilbert order, but the curve has discontinuities (above all the world
+    center cross, where the densest scene regions sit): spatial neighbors
+    can land many blocks apart and silently lose their short-range force —
+    measured at N=50k this dominated the force-error tail (band error p50
+    ~1e-9 vs p99 ~1e-2). This pass finds, per block, up to ``k`` partner
+    blocks that are (a) >1 block away in sorted order and (b) within the
+    short-range cutoff 2a of its bounding box, and sums those pair forces
+    densely. All dense ops on the already-sorted arrays: segment min/max
+    bounding boxes, a chunked B x B box-distance test, ``top_k`` partner
+    selection, and one block-granular row gather — no second sort, no
+    scatter-back (results stay in the sorted frame).
+
+    Coverage is exact up to the cutoff (the switch weight at r = 2a is
+    exp(-16) ~ 1e-7) PROVIDED no block needs more than ``k`` partners;
+    returns (acc_sorted (cap, 2), need) where ``need`` is the max partner
+    count so the engine can detect overflow and retune like the traversal
+    caps (engine.py Caps).
+    """
+    cap = spos.shape[0]
+    S = band
+    B = -(-cap // S)
+    dtype = spos.dtype
+    pad = B * S - cap
+    fields = jnp.concatenate([spos, smass[:, None]], axis=1)
+    fields = jnp.concatenate([fields, jnp.zeros((pad, 3), dtype)])
+    live = jnp.concatenate([salive, jnp.zeros((pad,), bool)])
+    X = fields.reshape(B, S, 3)
+    lv = live.reshape(B, S)
+    big = jnp.asarray(jnp.finfo(dtype).max, dtype)
+    # alive-only bounding boxes; empty blocks get inverted boxes whose gap
+    # to everything is huge => no partners.
+    bminx = jnp.min(jnp.where(lv, X[..., 0], big), axis=1)
+    bmaxx = jnp.max(jnp.where(lv, X[..., 0], -big), axis=1)
+    bminy = jnp.min(jnp.where(lv, X[..., 1], big), axis=1)
+    bmaxy = jnp.max(jnp.where(lv, X[..., 1], -big), axis=1)
+    rcut2 = (2.0 * a) * (2.0 * a)
+
+    k = min(k, B)
+    cb = max(1, min(B, chunk // S))
+    n_chunks = -(-B // cb)
+    Xb = jnp.concatenate([X.reshape(B, S * 3),
+                          jnp.zeros((n_chunks * cb - B, S * 3), dtype)])
+    bbox = jnp.stack([bminx, bmaxx, bminy, bmaxy], axis=1)
+    bbox = jnp.concatenate(
+        [bbox, jnp.broadcast_to(jnp.asarray([big, -big, big, -big], dtype),
+                                (n_chunks * cb - B, 4))])
+    starts = jnp.arange(n_chunks) * cb
+    idx_all = jnp.arange(B)
+
+    def one_chunk(b0):
+        bb = jax.lax.dynamic_slice(bbox, (b0, 0), (cb, 4))  # my boxes
+        gx = jnp.maximum(0.0, jnp.maximum(bb[:, 0:1] - bmaxx[None, :],
+                                          bminx[None, :] - bb[:, 1:2]))
+        gy = jnp.maximum(0.0, jnp.maximum(bb[:, 2:3] - bmaxy[None, :],
+                                          bminy[None, :] - bb[:, 3:4]))
+        g2 = gx * gx + gy * gy
+        near = g2 < rcut2                                   # (cb, B)
+        dblk = jnp.abs((b0 + jnp.arange(cb))[:, None] - idx_all[None, :])
+        mask = near & (dblk > 1)
+        cnt = jnp.sum(mask, axis=1)                         # partners needed
+        # rank candidates closest-box-first so that if cnt > k the dropped
+        # partners are the farthest (their pair weights are the smallest)
+        score = jnp.where(mask, rcut2 - g2, 0.0)
+        mval, midx = jax.lax.top_k(score, k)                # (cb, k)
+        mval = (mval > 0).astype(jnp.float32)
+        part = Xb[midx].reshape(cb, k, S, 3)                # block row gather
+        pm = part[..., 2] * mval[:, :, None]                # invalid -> m=0
+        px = part[..., 0].reshape(cb, k * S)
+        py = part[..., 1].reshape(cb, k * S)
+        pm = pm.reshape(cb, k * S)
+        ctr = jax.lax.dynamic_slice(Xb, (b0, 0), (cb, S * 3)) \
+            .reshape(cb, S, 3)
+        dx = px[:, None, :] - ctr[:, :, None, 0]            # (cb, S, kS)
+        dy = py[:, None, :] - ctr[:, :, None, 1]
+        r2 = dx * dx + dy * dy
+        w = pm[:, None, :] * jax.lax.rsqrt(r2 + soft2) / (r2 + soft2)
+        w = w * jnp.exp(-((r2 / (a * a)) ** 2))
+        acc = jnp.stack([jnp.sum(w * dx, axis=2),
+                         jnp.sum(w * dy, axis=2)], axis=-1)  # (cb, S, 2)
+        return acc, jnp.max(cnt)
+
+    acc, need = jax.lax.map(one_chunk, starts)
+    return acc.reshape(n_chunks * cb * S, 2)[:cap], jnp.max(need)
+
+
+def _cic_cells(spos, origin, h, nw, order):
+    """Base world cell (row-major, clipped) + per-offset weights.
+
+    order 2 (CIC): weights (n, 4) for offsets [(0,0), (+x,0), (0,+y),
+    (+x,+y)] in cell-center coordinates. order 1 (NGP): weights (n, 1) for
+    the containing cell. The base is clipped to [0, nw-1]; the +1 offsets
+    deliberately reach row/column ``nw`` (the first padded row/col of the
+    FFT domain), which is physically correct for bodies within h of the
+    world's high edge.
+    """
+    dtype = spos.dtype
+    scaled = (spos - origin) / h
+    if order == 1:
+        cell = jnp.clip(jnp.floor(scaled).astype(jnp.int32), 0, nw - 1)
+        base = cell[:, 1] * nw + cell[:, 0]
+        return base, jnp.ones((spos.shape[0], 1), dtype)
+    u = scaled - 0.5                   # in cell-CENTER coordinates
+    b = jnp.floor(u).astype(jnp.int32)
+    frac = u - b.astype(dtype)         # in [0, 1)
+    bx = jnp.clip(b[:, 0], 0, nw - 1)
+    by = jnp.clip(b[:, 1], 0, nw - 1)
+    wx1, wy1 = frac[:, 0], frac[:, 1]
+    wx0, wy0 = 1.0 - wx1, 1.0 - wy1
+    w4 = jnp.stack([wx0 * wy0, wx1 * wy0, wx0 * wy1, wx1 * wy1], axis=1)
+    return by * nw + bx, w4
+
+
+def _deposit_packed(smass, base, w, nw, grid):
+    """Mass deposit via four INDEPENDENT plane scatters.
+
+    Measured on this backend at N=1M, nw=4096 (tools/scatter_micro.py):
+    4 scalar scatter-adds into one shared (grid^2,) array take 53 ms (the
+    chain serializes), a single (n, 4) row-scatter into (nw^2, 4) takes
+    106 ms (the 4-lane minor dim tiles terribly), but 4 scatter-adds into
+    four *independent* (nw^2,) accumulators run concurrently: 16 ms. Each
+    CIC offset gets its own plane at the shared BASE cell; the planes then
+    combine into the padded FFT grid with dense pad-shift adds (offsets:
+    0=(0,0) 1=(+x) 2=(+y) 3=(+x,+y)).
+    """
+    dtype = smass.dtype
+    K = w.shape[1]
+    planes = [jnp.zeros((nw * nw,), dtype).at[base].add(smass * w[:, k])
+              .reshape(nw, nw) for k in range(K)]
+    if K == 1:
+        world = jnp.pad(planes[0], ((0, 1), (0, 1)))
+    else:
+        world = (jnp.pad(planes[0], ((0, 1), (0, 1)))
+                 + jnp.pad(planes[1], ((0, 1), (1, 0)))
+                 + jnp.pad(planes[2], ((1, 0), (0, 1)))
+                 + jnp.pad(planes[3], ((1, 0), (1, 0))))
+    rho = jnp.zeros((grid, grid), dtype)
+    return jax.lax.dynamic_update_slice(rho, world, (0, 0))
+
+
+def _interp_packed(fx, fy, base, w, nw):
+    """Force interpolation with ONE row-gather per body.
+
+    The (fx, fy) values of all 4 CIC cells are pre-packed into (nw^2, 8)
+    rows by dense shifted slices of the force grids, so each body fetches
+    one 8-lane row instead of 4 two-lane gathers (~6x cheaper at N=1M).
+    Must mirror :func:`_deposit_packed`'s assignment exactly so the odd
+    kernel's self-force cancels.
+    """
+    K = w.shape[1]
+    sl = lambda gz, dy, dx: jax.lax.dynamic_slice(gz, (dy, dx), (nw, nw))
+    if K == 1:
+        F = jnp.stack([sl(fx, 0, 0), sl(fy, 0, 0)], axis=-1)
+        rows = F.reshape(nw * nw, 2)[base]
+        return rows * w[:, 0:1]
+    F = jnp.stack([sl(fx, 0, 0), sl(fy, 0, 0), sl(fx, 0, 1), sl(fy, 0, 1),
+                   sl(fx, 1, 0), sl(fy, 1, 0), sl(fx, 1, 1), sl(fy, 1, 1)],
+                  axis=-1)
+    rows = F.reshape(nw * nw, 8)[base]              # (n, 8) single gather
+    ax = (w[:, 0] * rows[:, 0] + w[:, 1] * rows[:, 2]
+          + w[:, 2] * rows[:, 4] + w[:, 3] * rows[:, 6])
+    ay = (w[:, 0] * rows[:, 1] + w[:, 1] * rows[:, 3]
+          + w[:, 2] * rows[:, 5] + w[:, 3] * rows[:, 7])
+    return jnp.stack([ax, ay], axis=-1)
+
+
 def _mesh_force(spos, smass, origin, h, nw, grid, soft2, a, order, kernel):
     """Deposit -> FFT convolution -> interpolate, for one grid registration.
 
@@ -144,48 +341,38 @@ def _mesh_force(spos, smass, origin, h, nw, grid, soft2, a, order, kernel):
     odd force kernel, symmetric deposit/interp makes the self-force cancel
     exactly (mixed schemes leave a large spurious self-kick).
     """
-    dtype = spos.dtype
-    cap = spos.shape[0]
-    scaled = (spos - origin) / h          # position in cell units
-    if order == 1:
-        cell = jnp.clip(jnp.floor(scaled).astype(jnp.int32), 0, nw - 1)
-        idx4 = (cell[:, 1] * grid + cell[:, 0],)
-        w4 = (jnp.ones((cap,), dtype),)
-    else:
-        u = scaled - 0.5                   # in cell-CENTER coordinates
-        base = jnp.floor(u).astype(jnp.int32)
-        frac = u - base.astype(dtype)      # in [0, 1)
-        bx0 = jnp.clip(base[:, 0], 0, nw - 1)
-        by0 = jnp.clip(base[:, 1], 0, nw - 1)
-        bx1 = jnp.clip(base[:, 0] + 1, 0, nw - 1)
-        by1 = jnp.clip(base[:, 1] + 1, 0, nw - 1)
-        wx1, wy1 = frac[:, 0], frac[:, 1]
-        wx0, wy0 = 1.0 - wx1, 1.0 - wy1
-        idx4 = (by0 * grid + bx0, by0 * grid + bx1,
-                by1 * grid + bx0, by1 * grid + bx1)
-        w4 = (wx0 * wy0, wx1 * wy0, wx0 * wy1, wx1 * wy1)
-
-    rho = jnp.zeros((grid * grid,), dtype)
-    for idx, w in zip(idx4, w4):
-        rho = rho.at[idx].add(smass * w)
-    kx_hat, ky_hat = kernel
-    rho_hat = jnp.fft.rfft2(rho.reshape(grid, grid))
-    fx = jnp.fft.irfft2(rho_hat * kx_hat, s=(grid, grid))
-    fy = jnp.fft.irfft2(rho_hat * ky_hat, s=(grid, grid))
-    fgrid = jnp.stack([fx, fy], axis=-1).reshape(grid * grid, 2)
-
-    acc_mesh = jnp.zeros_like(spos)
-    for idx, w in zip(idx4, w4):
-        acc_mesh = acc_mesh + fgrid[idx] * w[:, None]
-    return acc_mesh
+    base, w = _cic_cells(spos, origin, h, nw, order)
+    rho = _deposit_packed(smass, base, w, nw, grid)
+    _, _, phi_hat = kernel
+    rho_hat = jnp.fft.rfft2(rho)
+    phi = jnp.fft.irfft2(rho_hat * phi_hat, s=(grid, grid))
+    # 6th-order FD gradient, evaluated only on the (nw+1)-sized window the
+    # interpolation reads (cells 0..nw each axis). The stencil reaches
+    # [-3, nw+3]; roll wraps the three negative taps to the far padded edge,
+    # where the doubled-domain potential is still valid for near-edge cells.
+    win = nw + 7
+    pw = jnp.roll(phi, (3, 3), axis=(0, 1))[:win, :win]
+    c1 = 45.0 / (60.0 * h)
+    c2 = 9.0 / (60.0 * h)
+    c3 = 1.0 / (60.0 * h)
+    m = nw + 1
+    fx = (c1 * (pw[3:3 + m, 4:4 + m] - pw[3:3 + m, 2:2 + m])
+          - c2 * (pw[3:3 + m, 5:5 + m] - pw[3:3 + m, 1:1 + m])
+          + c3 * (pw[3:3 + m, 6:6 + m] - pw[3:3 + m, 0:0 + m]))
+    fy = (c1 * (pw[4:4 + m, 3:3 + m] - pw[2:2 + m, 3:3 + m])
+          - c2 * (pw[5:5 + m, 3:3 + m] - pw[1:1 + m, 3:3 + m])
+          + c3 * (pw[6:6 + m, 3:3 + m] - pw[0:0 + m, 3:3 + m]))
+    return _interp_packed(fx, fy, base, w, nw)
 
 
 @functools.partial(jax.jit, static_argnames=("mesh_level", "split_cells",
                                               "band", "chunk", "order",
-                                              "interlace"))
+                                              "interlace", "rescue_k",
+                                              "return_stats"))
 def pm_accel(pos, mass, alive, G, soft2, origin, root_side, *,
              mesh_level: int, split_cells: float, band: int, chunk: int,
-             order: int = 2, interlace: bool = False, kernel=None):
+             order: int = 2, interlace: bool = False, rescue_k: int = 0,
+             return_stats: bool = False, kernel=None):
     """P3M acceleration, original body order. (n, 2) -> (n, 2).
 
     mesh_level: world grid is 2^level x 2^level over the root quad; the FFT
@@ -200,6 +387,11 @@ def pm_accel(pos, mass, alive, G, soft2, origin, root_side, *,
     scene is modest (mean error -10-15% at ~2x mesh cost); the residual error
     is dominated by the split-region (r ~ a) kernel quantization, not
     aliasing.
+    rescue_k: when > 0, run the :func:`_block_rescue` pass with up to this
+    many partner blocks per block — exact recovery of short-range pairs the
+    Hilbert band misses across curve discontinuities (see its docstring).
+    return_stats: also return a stats dict (``rescue_need``: max partner
+    blocks any block required; coverage is exact iff <= rescue_k).
     kernel: optional precomputed :func:`kernel_hats_for` result; when None
     the kernel FFTs are recomputed per call (fine for one-shot use, wasteful
     inside a step loop).
@@ -226,6 +418,15 @@ def pm_accel(pos, mass, alive, G, soft2, origin, root_side, *,
 
     acc_short = _band_short_range(spos, smass, soft2, a, band=band,
                                   chunk=chunk)
+    rescue_need = jnp.int32(0)
+    if rescue_k:
+        acc_r, rescue_need = _block_rescue(spos, smass, salive, soft2, a,
+                                           band=band, k=rescue_k,
+                                           chunk=chunk)
+        acc_short = acc_short + acc_r
 
     acc = (acc_mesh + acc_short) * salive[:, None].astype(dtype)
-    return G * acc[unsort]
+    out = G * acc[unsort]
+    if return_stats:
+        return out, {"rescue_need": rescue_need}
+    return out

@@ -52,17 +52,34 @@ def classic_colors(mass):
     return jnp.where(heavy, jnp.zeros(3), jnp.ones(3))
 
 
-@functools.partial(jax.jit, static_argnames=("width", "height", "mode"))
+# 5x5 circular sprite tiers (gpu/GPU.kt:226 point size + :242-243 round
+# sprite discard): ring 1 completes a 3x3 disc for point size >= 3, ring 2
+# the 21-pixel 5x5 disc (corners discarded) for size >= 5.
+_RING1 = tuple((dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+               if (dx, dy) != (0, 0))
+_RING2 = tuple((dx, dy) for dx in (-2, -1, 0, 1, 2) for dy in (-2, -1, 0, 1, 2)
+               if max(abs(dx), abs(dy)) == 2 and abs(dx) * abs(dy) != 4)
+
+
+@functools.partial(jax.jit, static_argnames=("width", "height", "mode",
+                                              "size_base", "size_mass_scale"))
 def render_frame(pos, vel, mass, alive, *, width: int, height: int,
                  view_x=0.0, view_y=0.0, zoom=1.0, mode: str = "speed",
-                 speed_scale=1.0 / 10_000.0, gain=1.0):
-    """Splat bodies into an (height, width, 3) float [0,1] framebuffer."""
+                 speed_scale=1.0 / 10_000.0, gain=1.0,
+                 size_base: float = 1.0, size_mass_scale: float = 0.0):
+    """Splat bodies into an (height, width, 3) float [0,1] framebuffer.
+
+    With ``size_mass_scale`` > 0, per-body point size =
+    clamp(size_base + size_mass_scale * mass, 1, 5) — the GPU vertex
+    shader's mass-scaled ``gl_PointSize`` (``gpu/GPU.kt:226``) — and heavy
+    bodies splat as circular 3x3 / 5x5 sprites (the fragment shader's round
+    discard, ``gpu/GPU.kt:242-243``). 0 (default) keeps the 1-pixel splat
+    and its single-scatter cost.
+    """
     sx = (pos[:, 0] - view_x) * zoom
     sy = (pos[:, 1] - view_y) * zoom
     ix = jnp.floor(sx).astype(jnp.int32)
     iy = jnp.floor(sy).astype(jnp.int32)
-    on = alive & (ix >= 0) & (ix < width) & (iy >= 0) & (iy < height)
-    lin = jnp.where(on, iy * width + ix, width * height)
 
     if mode == "speed":
         col = speed_colors(vel, speed_scale)
@@ -70,10 +87,22 @@ def render_frame(pos, vel, mass, alive, *, width: int, height: int,
         col = classic_colors(mass)
     else:
         raise ValueError(f"unknown color mode {mode!r}")
-    col = col * gain * on[:, None].astype(col.dtype)
 
     fb = jnp.zeros((width * height + 1, 3), col.dtype)
-    fb = fb.at[lin].add(col)
+
+    def splat(fb, dx, dy, sel):
+        jx, jy = ix + dx, iy + dy
+        on = sel & (jx >= 0) & (jx < width) & (jy >= 0) & (jy < height)
+        lin = jnp.where(on, jy * width + jx, width * height)
+        return fb.at[lin].add(col * gain * on[:, None].astype(col.dtype))
+
+    fb = splat(fb, 0, 0, alive)
+    if size_mass_scale:
+        size = jnp.clip(size_base + size_mass_scale * mass, 1.0, 5.0)
+        for dx, dy in _RING1:
+            fb = splat(fb, dx, dy, alive & (size >= 2.5))
+        for dx, dy in _RING2:
+            fb = splat(fb, dx, dy, alive & (size >= 4.5))
     return jnp.clip(fb[:-1].reshape(height, width, 3), 0.0, 1.0)
 
 

@@ -77,7 +77,7 @@ def _pm_accel_local(pos, mass, alive, G, soft2, origin, root_side, *,
     # ---- FFT force grids (replicated compute) + local CIC interp ----
     if kernel is None:
         kernel = mesh_ops._kernel_hats(grid, h, soft2, a, dtype)
-    kx_hat, ky_hat = kernel
+    kx_hat, ky_hat, _ = kernel
     rho_hat = jnp.fft.rfft2(rho)
     fx = jnp.fft.irfft2(rho_hat * kx_hat, s=(grid, grid))
     fy = jnp.fft.irfft2(rho_hat * ky_hat, s=(grid, grid))
@@ -174,7 +174,7 @@ def make_sharded_pm_step(mesh: Mesh, cfg: SimConfig, *,
     def one(state, params, kernel):
         return jax.shard_map(
             local_step, mesh=mesh,
-            in_specs=(state_specs, param_specs, (P(), P())),
+            in_specs=(state_specs, param_specs, (P(), P(), P())),
             out_specs=(state_specs, P()),
             check_vma=False,
         )(state, params, kernel)
