@@ -52,7 +52,9 @@ def main():
         cfg = SimConfig(
             capacity=cap,
             max_depth=11 if args.small else 14,
-            group_chunk=16,
+            # bigger force-eval chunks amortize this backend's per-op
+            # dispatch overhead (~0.3 ms x n_chunks; 2x at N=100k bh)
+            group_chunk=16 if args.small else 64,
             # generous BH caps at full scale to avoid retune recompiles
             approx_cap=1024 if big_bh else 512,
             direct_body_cap=4096 if big_bh else 1024,
@@ -77,6 +79,11 @@ def main():
         t0 = time.perf_counter()
         eng.step(args.steps)
         float(eng.state.pos[0, 0])
+        if args.solver == "bh" and eng.tighten_caps():
+            # right-size the static list caps to this scene's measured
+            # needs (8x at N=100k) and recompile before measuring
+            eng.step(args.steps)
+            float(eng.state.pos[0, 0])
         warmup_s = time.perf_counter() - t0
 
         # Best of a few warm trials: first executions through the TPU tunnel

@@ -105,6 +105,32 @@ def test_cap_auto_retune():
     assert not bool(eng.last_stats.overflowed(caps.as_dict()))
 
 
+def test_tighten_caps_shrinks_and_stays_correct():
+    """Oversized caps shrink to ~1.5x measured need; results unchanged."""
+    cfg = SimConfig(capacity=1024, max_depth=7, group_chunk=16,
+                    approx_cap=4096, direct_body_cap=4096, frontier_cap=2048,
+                    leaf_list_cap=1024)
+    eng = Engine(cfg, solver="bh", integrator="kdk", seed=5)
+    eng.reset_default_scene(n1=600, n2=200)
+    eng.step(1)
+    before = eng.caps
+    pos_ref = np.asarray(eng.state.pos)
+    assert eng.tighten_caps()
+    after = eng.caps
+    assert (after.approx_cap < before.approx_cap
+            and after.direct_body_cap < before.direct_body_cap)
+    # needs still fit under the tightened caps (1.5x headroom)
+    assert not bool(eng.last_stats.overflowed(after.as_dict()))
+    # replay the same step from the same state under tight caps: identical
+    eng2 = Engine(cfg, solver="bh", integrator="kdk", seed=5)
+    eng2.reset_default_scene(n1=600, n2=200)
+    eng2.caps = after
+    eng2._build_step()
+    eng2.step(1)
+    np.testing.assert_allclose(np.asarray(eng2.state.pos), pos_ref,
+                               rtol=1e-6, atol=1e-4)
+
+
 def test_checkpoint_roundtrip(tmp_path, engine):
     engine.reset_default_scene(n1=300, n2=100)
     engine.step(2)

@@ -212,3 +212,39 @@ def default_two_disk_scene(key, *, n1=10_000, n2=2_500,
         dtype=dtype)
     return (jnp.concatenate([p1, p2]), jnp.concatenate([v1, v2]),
             jnp.concatenate([m1, m2]))
+
+
+def multi_galaxy_merger(key, *, n_total=10_000_000, n_galaxies=4,
+                        world_w=cfg.WIDTH_PX, world_h=cfg.HEIGHT_PX,
+                        ring_frac=0.30, infall_speed=40.0,
+                        G=cfg.G_DEFAULT, dtype=jnp.float32):
+    """BASELINE config[4]: several galaxies falling into a common merger.
+
+    ``n_galaxies`` disks (the canonical r=300 / M_c=50k profile, scaled) are
+    placed on a ring of radius ``ring_frac * min(W, H)`` around the world
+    center, each given an inward + slight tangential velocity so they meet
+    near the center within a few hundred steps. No reference counterpart
+    (the reference tops out at the 12.5k-body two-disk scene) — this is the
+    N-scaling axis workload (SURVEY §5.7).
+    """
+    per = n_total // n_galaxies
+    cx, cy = world_w * 0.5, world_h * 0.5
+    ring_r = ring_frac * min(world_w, world_h)
+    keys = jax.random.split(key, n_galaxies)
+    ps, vs, ms = [], [], []
+    for g in range(n_galaxies):
+        ang = 2.0 * jnp.pi * g / n_galaxies
+        gx = cx + ring_r * float(jnp.cos(ang))
+        gy = cy + ring_r * float(jnp.sin(ang))
+        # inward + 25% tangential so the merger has angular momentum
+        ivx = -infall_speed * float(jnp.cos(ang)) \
+            - 0.25 * infall_speed * float(jnp.sin(ang))
+        ivy = -infall_speed * float(jnp.sin(ang)) \
+            + 0.25 * infall_speed * float(jnp.cos(ang))
+        n_g = per + (n_total - per * n_galaxies if g == 0 else 0)
+        p, v, m = make_galaxy_disk(
+            keys[g], n_g, x=gx, y=gy, r=300.0, central_mass=50_000.0,
+            total_satellite_mass=5_000.0, vx=ivx, vy=ivy, phi0=float(ang),
+            world_w=world_w, world_h=world_h, G=G, dtype=dtype)
+        ps.append(p); vs.append(v); ms.append(m)
+    return jnp.concatenate(ps), jnp.concatenate(vs), jnp.concatenate(ms)

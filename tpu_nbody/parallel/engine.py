@@ -1,0 +1,131 @@
+"""Multi-chip engine: the full panel API on a ``jax.sharding.Mesh``.
+
+The reference has no distributed backend at all (SURVEY §5.8) — its panel
+API (``PhysicsEngine``: reset / add disk / add cloud / add black hole /
+step / stats, ``src/main/kotlin/BarnesHutAlg.kt:320-356``) is single
+process. :class:`ShardedEngine` keeps that exact surface while the state
+lives sharded over a device mesh and every step runs as one
+``shard_map``-compiled program (``parallel/sharded.py`` ring all-pairs or
+``parallel/sharded_pm.py`` domain-decomposed P3M).
+
+Design:
+
+* Scene edits reuse the single-chip :class:`~tpu_nbody.engine.Engine`
+  methods verbatim (they are rare, host-driven events), then re-shard the
+  result with :func:`reshard_by_hilbert` so each chip owns a contiguous
+  Hilbert segment — the compact spatial domain the sharded P3M's halo
+  exchange relies on.
+* ``step`` runs in blocks of ``reshard_every`` steps: within a block the
+  state stays put and the jitted step runs ``n`` scan iterations; between
+  blocks the decomposition is refreshed (bodies drift across domain
+  boundaries at a bounded rate, so K is sized so no body can outrun the
+  short-range halo between reshards).
+* The sharded merge's ``heavy_cap_local`` auto-grows exactly like the
+  single-chip engine's caps: on overflow the block is re-run from its
+  pre-block state with a doubled cap (no silently dropped absorbers).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_nbody.config import Params, SimConfig
+from tpu_nbody.engine import Engine, _next_pow2
+from tpu_nbody.parallel.mesh import BODY_AXIS, make_mesh
+from tpu_nbody.parallel.sharded import make_sharded_step
+from tpu_nbody.parallel.sharded_pm import (make_sharded_pm_step,
+                                           reshard_by_hilbert)
+
+
+class ShardedEngine(Engine):
+    """Engine-parity API with bodies sharded over a device mesh.
+
+    solver: ``"pm"`` (domain-decomposed P3M — the scale path) or
+    ``"allpairs"`` (exact ppermute-ring — the parity/check path).
+    """
+
+    def __init__(self, cfg: SimConfig, params: Params | None = None, *,
+                 mesh=None, solver: str = "pm", integrator: str = "kdk",
+                 reshard_every: int = 8, heavy_cap_local: int = 16,
+                 axis: str = BODY_AXIS, seed: int = 3):
+        if solver not in ("pm", "allpairs"):
+            raise ValueError(
+                f"ShardedEngine supports pm|allpairs, got {solver!r}")
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.axis = axis
+        self.reshard_every = int(reshard_every)
+        self.heavy_cap_local = int(heavy_cap_local)
+        self._steps_since_reshard = 0
+        self._sharded = False
+        super().__init__(cfg, params, solver=solver, integrator=integrator,
+                         seed=seed, auto_retune=False)
+
+    # ------------------------------------------------------------ stepping
+    def _build_step(self):
+        if self.solver == "pm":
+            self._step_fn = make_sharded_pm_step(
+                self.mesh, self.cfg, integrator=self.integrator,
+                heavy_cap_local=self.heavy_cap_local, axis=self.axis)
+        else:
+            self._step_fn = make_sharded_step(
+                self.mesh, integrator=self.integrator,
+                heavy_cap_local=self.heavy_cap_local, axis=self.axis)
+
+    def _reshard(self):
+        self.state = reshard_by_hilbert(self.state, self.mesh, self.cfg,
+                                        axis=self.axis)
+        self._steps_since_reshard = 0
+        self._sharded = True
+
+    def step(self, n: int = 1):
+        """Advance ``n`` steps; reshard every ``reshard_every`` steps."""
+        if self._step_fn is None:
+            self._build_step()
+        if not self._sharded:
+            self._reshard()
+        remaining = int(n)
+        while remaining > 0:
+            if self._steps_since_reshard >= self.reshard_every:
+                self._reshard()
+            blk = min(remaining,
+                      self.reshard_every - self._steps_since_reshard)
+            pre = self.state
+            new_state, heavy = self._step_fn(self.state, self.params,
+                                             n_steps=blk)
+            need = int(heavy)
+            slots_local = self.cfg.capacity // self.mesh.shape[self.axis]
+            while (need > self.heavy_cap_local
+                   and self.heavy_cap_local < slots_local):
+                # absorbers were dropped: grow the local heavy cap and
+                # redo the block from its pre-block state
+                self.heavy_cap_local = min(slots_local,
+                                           _next_pow2(2 * need))
+                self._build_step()
+                new_state, heavy = self._step_fn(pre, self.params,
+                                                 n_steps=blk)
+                need = int(heavy)
+            self.last_heavy_need = need
+            self.state = new_state
+            self._steps_since_reshard += blk
+            remaining -= blk
+        return self.state
+
+    # --------------------------------------------------------- scene edits
+    # Engine's host-driven edits produce an unsharded state; re-shard after.
+    def set_bodies(self, pos, vel, mass):
+        super().set_bodies(pos, vel, mass)
+        self._reshard()
+
+    def add_bodies(self, pos, vel, mass):
+        # pull to single-device jax arrays first: concat on sharded arrays
+        # would gather anyway, and edits are rare
+        self.state = jax.tree.map(lambda x: jnp.asarray(np.asarray(x)),
+                                  self.state)
+        super().add_bodies(pos, vel, mass)
+        self._reshard()
+
+    def clear(self):
+        super().clear()
+        self._reshard()
