@@ -281,15 +281,27 @@ def make_step_fn(cfg: SimConfig, caps: Caps, solver: str, integrator: str,
                                         heavy_cap=merge_heavy_cap)
             return state, acc, {"trav": st, "heavy_need": heavy}
 
-        @functools.partial(jax.jit, static_argnames=("n_steps",))
-        def step_n(state: SimState, params: Params, n_steps: int = 1):
-            aux_cell[0] = prepare(params) if prepare is not None else None
+        # The seed force pass runs in its OWN executable: at large N two
+        # traversal instances in one XLA program crash this backend's TPU
+        # worker (bisected at N=1M: the standalone pass and the
+        # single-instance euler step run fine, the two-instance kdk graph
+        # kernel-faults the worker), and the scan body below already embeds
+        # one instance. Splitting costs one extra dispatch + re-running
+        # prepare() per step_n call — noise at the scales where it matters.
+        @jax.jit
+        def seed_fn(state: SimState, params: Params):
+            aux = prepare(params) if prepare is not None else None
+            aux_cell[0] = aux
             del stats_holder[:]
             acc0 = accel(state.pos, state.mass, state.alive, params)
             seed_st = {"trav": functools.reduce(max_stats, stats_holder,
                                                 None),
                        "heavy_need": jnp.int32(0)}
+            return acc0, seed_st, aux
 
+        @functools.partial(jax.jit, static_argnames=("n_steps",))
+        def loop_fn(state, acc0, seed_st, aux, params, n_steps: int):
+            aux_cell[0] = aux
             state, acc, st = one_step(state, acc0, params)
             st = max_stats(seed_st, st)
             if n_steps > 1:
@@ -300,6 +312,11 @@ def make_step_fn(cfg: SimConfig, caps: Caps, solver: str, integrator: str,
                 (state, acc, st), _ = jax.lax.scan(
                     body, (state, acc, st), None, length=n_steps - 1)
             return state, st
+
+        def step_n(state: SimState, params: Params, n_steps: int = 1):
+            acc0, seed_st, aux = seed_fn(state, params)
+            return loop_fn(state, acc0, seed_st, aux, params,
+                           n_steps=n_steps)
 
     else:
         raise ValueError(f"unknown integrator {integrator!r}")

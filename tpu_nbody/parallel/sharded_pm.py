@@ -10,9 +10,13 @@ Scales the :mod:`tpu_nbody.ops.mesh` solver over a device mesh:
   than the short-range radius across a domain boundary between reshards.
 * Deposit: each shard CIC-deposits its bodies into a local density grid;
   one ``psum`` over ICI makes the global grid resident on every chip.
-* FFT force grids are computed redundantly per chip (the grid is small
-  relative to bodies at scale; a slab-decomposed distributed FFT is the
-  round-2 upgrade) and interpolated locally — zero per-body communication.
+* The potential solve is a slab-decomposed distributed FFT
+  (:func:`_slab_fft_phi`): reduce-scatter the density rows, per-chip row
+  FFTs, an ``all_to_all`` transpose, per-chip column FFTs against this
+  chip's kernel column slice, and back — per-chip FFT work drops P-fold
+  versus the round-1 replicated transform. The 6th-order FD gradient runs
+  on the slabs with a 3-row ``ppermute`` halo, and only the world window
+  (nw+1)^2 of (fx, fy) is ``all_gather``-ed for local interpolation.
 * Short-range band: each shard's sorted block exchanges a ``band``-row halo
   with its ring neighbors via ``ppermute`` — with Hilbert domain
   decomposition, the ring neighbors ARE the spatial neighbors along the
@@ -40,9 +44,82 @@ from tpu_nbody.parallel.sharded import _merge_sharded
 from tpu_nbody.state import SimState
 
 
+def _slab_fft_phi(rho_local, phi_hat, *, axis, n_shards, grid):
+    """Distributed potential solve: slab-decomposed 2D FFT convolution.
+
+    Round-1 computed the full padded-grid FFT redundantly on every chip;
+    this is the round-2 slab decomposition (VERDICT item 8): per-chip FFT
+    work drops P-fold.
+
+    rho_local: this chip's PARTIAL density (grid, grid) (sum over chips =
+    the global grid). Steps, all inside shard_map:
+
+    1. reduce-scatter rows: each chip gets its summed row slab
+       (grid/P, grid) — cheaper than the old full psum.
+    2. rfft along rows (local).
+    3. all_to_all transpose to column slabs (grid, hwp/P), where hwp pads
+       the rfft half-spectrum width grid/2+1 to a multiple of P.
+    4. complex FFT along columns (local), multiply by this chip's column
+       slice of the potential kernel phî, inverse FFT along columns.
+    5. all_to_all back to row slabs, irfft along rows -> φ row slab
+       (grid/P, grid).
+    """
+    P_ = n_shards
+    hw = grid // 2 + 1
+    hwp = -(-hw // P_) * P_
+    me = jax.lax.axis_index(axis)
+
+    slab = jax.lax.psum_scatter(rho_local, axis, scatter_dimension=0,
+                                tiled=True)                 # (grid/P, grid)
+    rh = jnp.fft.rfft(slab, axis=1)                          # (grid/P, hw)
+    rh = jnp.pad(rh, ((0, 0), (0, hwp - hw)))
+    cols = jax.lax.all_to_all(rh, axis, split_axis=1, concat_axis=0,
+                              tiled=True)                    # (grid, hwp/P)
+    ch = jnp.fft.fft(cols, axis=0)
+    ph = jnp.pad(phi_hat, ((0, 0), (0, hwp - hw)))
+    ph = jax.lax.dynamic_slice(ph, (0, me * (hwp // P_)), (grid, hwp // P_))
+    ch = jnp.fft.ifft(ch * ph, axis=0)
+    back = jax.lax.all_to_all(ch, axis, split_axis=0, concat_axis=1,
+                              tiled=True)                    # (grid/P, hwp)
+    return jnp.fft.irfft(back[:, :hw], n=grid, axis=1)       # (grid/P, grid)
+
+
+def _fd_force_window(phi_slab, h, *, axis, n_shards, nw, grid):
+    """6th-order FD gradient of the distributed φ, gathered on the world
+    window (nw+1, nw+1) every chip's interpolation needs.
+
+    The column taps are local (full rows); the ±3 row taps come from ring
+    neighbors via ppermute (the ring wrap reproduces the single-chip
+    ``jnp.roll`` semantics exactly: row -1 is the padded grid's last row).
+    """
+    rows_local = grid // n_shards
+    fwd = [(i, (i + 1) % n_shards) for i in range(n_shards)]
+    bwd = [(i, (i - 1) % n_shards) for i in range(n_shards)]
+    halo_up = jax.lax.ppermute(phi_slab[-3:], axis, fwd)     # rows -3..-1
+    halo_dn = jax.lax.ppermute(phi_slab[:3], axis, bwd)      # rows +1..+3
+    ext = jnp.concatenate([halo_up, phi_slab, halo_dn])      # (rows+6, grid)
+
+    c1 = 45.0 / (60.0 * h)
+    c2 = 9.0 / (60.0 * h)
+    c3 = 1.0 / (60.0 * h)
+    # columns: local rolls (wrap = padded-grid wrap, same as single-chip)
+    m = nw + 1
+    core = ext[3:3 + rows_local]
+    sh = lambda k: jnp.roll(core, -k, axis=1)[:, :m]
+    fx = (c1 * (sh(1) - sh(-1)) - c2 * (sh(2) - sh(-2))
+          + c3 * (sh(3) - sh(-3)))
+    dy = lambda k: ext[3 + k:3 + k + rows_local, :m]
+    fy = (c1 * (dy(1) - dy(-1)) - c2 * (dy(2) - dy(-2))
+          + c3 * (dy(3) - dy(-3)))
+    # gather world rows 0..nw on every chip
+    fx_full = jax.lax.all_gather(fx, axis, tiled=True)       # (grid, m)
+    fy_full = jax.lax.all_gather(fy, axis, tiled=True)
+    return fx_full[:m], fy_full[:m]
+
+
 def _pm_accel_local(pos, mass, alive, G, soft2, origin, root_side, *,
-                    mesh_level, split_cells, band, chunk, axis, n_shards,
-                    kernel=None):
+                    mesh_level, split_cells, band, chunk, rescue_k,
+                    axis, n_shards, kernel=None):
     """P3M acceleration for the local body shard (inside shard_map)."""
     dtype = pos.dtype
     origin = jnp.asarray(origin, dtype)
@@ -55,36 +132,17 @@ def _pm_accel_local(pos, mass, alive, G, soft2, origin, root_side, *,
     spos, smass, salive, unsort = mesh_ops._hilbert_sort(
         pos, mass, alive, origin, root_side)
 
-    # ---- local CIC deposit, then global density via psum ----
-    scaled = (spos - origin) / h
-    u = scaled - 0.5
-    base = jnp.floor(u).astype(jnp.int32)
-    frac = u - base.astype(dtype)
-    bx0 = jnp.clip(base[:, 0], 0, nw - 1)
-    by0 = jnp.clip(base[:, 1], 0, nw - 1)
-    bx1 = jnp.clip(base[:, 0] + 1, 0, nw - 1)
-    by1 = jnp.clip(base[:, 1] + 1, 0, nw - 1)
-    wx1, wy1 = frac[:, 0], frac[:, 1]
-    wx0, wy0 = 1.0 - wx1, 1.0 - wy1
-    idx4 = (by0 * grid + bx0, by0 * grid + bx1,
-            by1 * grid + bx0, by1 * grid + bx1)
-    w4 = (wx0 * wy0, wx1 * wy0, wx0 * wy1, wx1 * wy1)
-    rho = jnp.zeros((grid * grid,), dtype)
-    for idx, w in zip(idx4, w4):
-        rho = rho.at[idx].add(smass * w)
-    rho = jax.lax.psum(rho.reshape(grid, grid), axis)
-
-    # ---- FFT force grids (replicated compute) + local CIC interp ----
+    # ---- local CIC deposit (independent planes), distributed FFT solve,
+    #      local packed interpolation (same scheme as ops/mesh.py) ----
+    base, w = mesh_ops._cic_cells(spos, origin, h, nw, 2)
+    rho_local = mesh_ops._deposit_packed(smass, base, w, nw, grid)
     if kernel is None:
         kernel = mesh_ops._kernel_hats(grid, h, soft2, a, dtype)
-    kx_hat, ky_hat, _ = kernel
-    rho_hat = jnp.fft.rfft2(rho)
-    fx = jnp.fft.irfft2(rho_hat * kx_hat, s=(grid, grid))
-    fy = jnp.fft.irfft2(rho_hat * ky_hat, s=(grid, grid))
-    fgrid = jnp.stack([fx, fy], axis=-1).reshape(grid * grid, 2)
-    acc_mesh = jnp.zeros_like(spos)
-    for idx, w in zip(idx4, w4):
-        acc_mesh = acc_mesh + fgrid[idx] * w[:, None]
+    phi_slab = _slab_fft_phi(rho_local, kernel[2], axis=axis,
+                             n_shards=n_shards, grid=grid)
+    fx, fy = _fd_force_window(phi_slab, h, axis=axis, n_shards=n_shards,
+                              nw=nw, grid=grid)
+    acc_mesh = mesh_ops._interp_packed(fx, fy, base, w, nw)
 
     # ---- short-range band with ring halo exchange ----
     S = band
@@ -102,6 +160,16 @@ def _pm_accel_local(pos, mass, alive, G, soft2, origin, root_side, *,
     ext = jnp.concatenate([halo_left, fields, halo_right])
     acc_short = mesh_ops._band_short_range(
         ext[:, :2], ext[:, 2], soft2, a, band=S, chunk=chunk)[S:S + pos.shape[0]]
+    if rescue_k:
+        # Shard-local block rescue (ops/mesh.py::_block_rescue): recovers
+        # short-range pairs split by Hilbert discontinuities WITHIN this
+        # shard's curve segment. Documented deviation from single-chip:
+        # discontinuity pairs spanning two shards are not rescued (the
+        # ring halo only covers curve-adjacent slots); their weight decays
+        # like the band-miss tail the halo already bounds.
+        acc_r, _ = mesh_ops._block_rescue(spos, smass, salive, soft2, a,
+                                          band=band, k=rescue_k, chunk=chunk)
+        acc_short = acc_short + acc_r
 
     acc = (acc_mesh + acc_short) * salive[:, None].astype(dtype)
     return (G * acc)[unsort]
@@ -146,7 +214,8 @@ def make_sharded_pm_step(mesh: Mesh, cfg: SimConfig, *,
             origin, side, mesh_level=cfg.mesh_level,
             split_cells=cfg.mesh_split, band=cfg.mesh_band,
             chunk=min(cfg.mesh_chunk, cfg.capacity // n_shards),
-            axis=axis, n_shards=n_shards, kernel=kernel)
+            rescue_k=cfg.mesh_rescue, axis=axis, n_shards=n_shards,
+            kernel=kernel)
 
     def local_step(state: SimState, params: Params, kernel):
         a = accel(state.pos, state.mass, state.alive, params, kernel)
