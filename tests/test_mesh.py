@@ -119,7 +119,9 @@ def test_rescue_band_no_double_counting():
                                   band=cap, rescue_k=0, **kw))
     a1 = np.asarray(mesh.pm_accel(pos, mass, alive, 80.0, 1.0, origin, side,
                                   band=cap, rescue_k=4, **kw))
-    np.testing.assert_allclose(a1, a0, rtol=1e-5, atol=1e-5)
+    # Double counting would add O(|a|) errors; tolerance here only needs to
+    # absorb f32 fusion noise (fma/reassociation differs between graphs).
+    np.testing.assert_allclose(a1, a0, rtol=1e-4, atol=1e-3)
 
 
 def test_rescue_band_catches_curve_boundary_pair():
@@ -172,3 +174,52 @@ def test_engine_pm_runs_and_conserves():
     assert int(s1["n_alive"]) == 1500
     rel = abs(float(s1["energy"] - s0["energy"])) / abs(float(s0["energy"]))
     assert rel < 2e-2
+
+
+@pytest.mark.parametrize("resort_every", [1, 4])
+def test_pm_persistent_sort_matches_unsorted(resort_every):
+    """kdk_reuse + pm_persistent_sort must match the per-pass-sorted path.
+
+    The persistent path evaluates each force pass in the order computed at
+    the PREVIOUS position (resort happens at the end of a step), so the
+    band windows see a one-step-stale order even at resort_every=1 — the
+    divergence is bounded by the solver's own short-range coverage accuracy
+    (~3e-4 at bench settings), not float noise. Merge results and external
+    slot identity must match exactly.
+    """
+    mk = dict(capacity=2048, mesh_level=10, mesh_band=64, mesh_chunk=2048,
+              mesh_rescue=4)
+    cfg_ref = SimConfig(pm_persistent_sort=False, **mk)
+    cfg_new = SimConfig(pm_persistent_sort=True,
+                        pm_resort_every=resort_every, **mk)
+    params = Params.default(merge_min_dist=8.0)
+
+    out = []
+    for cfg in (cfg_ref, cfg_new):
+        eng = Engine(cfg, params, solver="pm", integrator="kdk_reuse",
+                     seed=7)
+        eng.reset_default_scene(n1=1000, n2=500)
+        eng.add_black_hole(*np.asarray(eng.state.pos)[0])  # exercise merge
+        eng.step(6)
+        out.append(eng)
+    ref, new = out
+    # External slot identity restored: alive masks line up slot-for-slot.
+    np.testing.assert_array_equal(np.asarray(ref.state.alive),
+                                  np.asarray(new.state.alive))
+    a = np.asarray(ref.state.pos)[np.asarray(ref.state.alive)]
+    b = np.asarray(new.state.pos)[np.asarray(new.state.alive)]
+    scale = np.abs(a).max()
+    tol = 1e-3 if resort_every == 1 else 5e-3
+    assert np.abs(a - b).max() / scale < tol
+    np.testing.assert_allclose(float(ref.state.mass.sum()),
+                               float(new.state.mass.sum()), rtol=1e-5)
+
+
+def test_pm_rescue_need_surfaced():
+    cfg = SimConfig(capacity=1024, mesh_level=9, mesh_band=32,
+                    mesh_chunk=1024, mesh_rescue=4, pm_persistent_sort=False)
+    eng = Engine(cfg, Params.default(merge_min_dist=0.0), solver="pm",
+                 integrator="kdk")
+    eng.reset_default_scene(n1=600, n2=200)
+    eng.step(1)
+    assert eng.last_rescue_need >= 0  # plumbed through (int, not None)

@@ -88,6 +88,11 @@ class SimConfig:
                                    # (0 = off); exact recovery of short-range
                                    # pairs split by Hilbert curve
                                    # discontinuities — see ops/mesh.py
+    pm_persistent_sort: bool = True  # pm + kdk_reuse: keep state in Hilbert
+                                   # order across scan steps (sort/unsort
+                                   # paid once per resort interval, not per
+                                   # force pass — engine._make_pm_sorted_step)
+    pm_resort_every: int = 8       # steps between re-sorts in that mode
     dtype: str = "float32"
 
     @property

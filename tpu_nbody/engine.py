@@ -44,7 +44,8 @@ import numpy as np
 from tpu_nbody import state as state_lib
 from tpu_nbody.config import Params, SimConfig
 from tpu_nbody.models import scenes
-from tpu_nbody.ops import forces, integrate, mesh as mesh_lib, tree as tree_lib, traverse
+from tpu_nbody.ops import (forces, integrate, mesh as mesh_lib, morton,
+                           tree as tree_lib, traverse)
 from tpu_nbody.ops.merge import merge_bodies
 from tpu_nbody.state import SimState
 
@@ -178,12 +179,13 @@ def make_pm_accel(cfg: SimConfig):
             split_cells=cfg.mesh_split, dtype=cfg.jdtype)
 
     def accel(pos, mass, alive, params, kernel=None):
-        acc = mesh_lib.pm_accel(
+        acc, st = mesh_lib.pm_accel(
             pos, mass, alive, params.G, params.soft2, origin, side,
             mesh_level=cfg.mesh_level, split_cells=cfg.mesh_split,
             band=cfg.mesh_band, chunk=min(cfg.mesh_chunk, cfg.capacity),
-            order=cfg.mesh_order, rescue_k=cfg.mesh_rescue, kernel=kernel)
-        return acc, None
+            order=cfg.mesh_order, rescue_k=cfg.mesh_rescue,
+            return_stats=True, kernel=kernel)
+        return acc, st
 
     accel.prepare = prepare
     return accel
@@ -204,6 +206,101 @@ _INTEGRATORS = {
 }
 
 
+def _split_aux(st):
+    """Normalize an accel aux (TraversalStats | pm stats dict | None) into
+    the step stats fields (trav, rescue_need)."""
+    if isinstance(st, dict):
+        return None, st.get("rescue_need", jnp.int32(0))
+    return st, jnp.int32(0)
+
+
+def _make_pm_sorted_step(cfg: SimConfig, merge_heavy_cap: int) -> Callable:
+    """step_n for solver="pm" + integrator="kdk_reuse" with PERSISTENT
+    Hilbert-sorted state (``cfg.pm_persistent_sort``).
+
+    The round-2 per-phase table (PERFORMANCE.md) showed the per-force-pass
+    Hilbert argsort (36 ms) + unsort gather (19 ms) at N=1M were paid every
+    step even though kdk_reuse runs one force pass per step and the sort
+    order barely changes between adjacent steps. Here the scan carries the
+    state in sorted order: integrate + merge run in the sorted frame (both
+    are order-agnostic up to the merge rule's lowest-index tiebreak, which
+    becomes lowest-Hilbert-position — documented deviation from
+    ``BarnesHutAlg.kt:463-532`` scan order, reachable only when two heavies
+    overlap), the order is refreshed every ``cfg.pm_resort_every`` steps,
+    and the original slot order is restored once at the end of the jitted
+    call so externally visible slot identity is unchanged.
+    """
+    ox, oy = cfg.root_center
+    origin = (ox - cfg.root_half, oy - cfg.root_half)
+    side = 2.0 * cfg.root_half
+    K = max(1, cfg.pm_resort_every)
+    chunk = min(cfg.mesh_chunk, cfg.capacity)
+
+    def accel_sorted(pos, mass, alive, params, kernel):
+        return mesh_lib.pm_accel_sorted(
+            pos, mass, alive, params.G, params.soft2, origin, side,
+            mesh_level=cfg.mesh_level, split_cells=cfg.mesh_split,
+            band=cfg.mesh_band, chunk=chunk, order=cfg.mesh_order,
+            rescue_k=cfg.mesh_rescue, kernel=kernel)
+
+    def permute(state, o):
+        return state._replace(pos=state.pos[o], vel=state.vel[o],
+                              mass=state.mass[o], alive=state.alive[o])
+
+    def sort_order(state):
+        codes = morton.hilbert_codes(state.pos, origin, side, state.alive)
+        return jnp.argsort(codes, stable=True)
+
+    @jax.jit
+    def seed_fn(state: SimState, params: Params):
+        kernel = mesh_lib.kernel_hats_for(
+            side, params.soft2, mesh_level=cfg.mesh_level,
+            split_cells=cfg.mesh_split, dtype=cfg.jdtype)
+        perm = sort_order(state)
+        state = permute(state, perm)
+        acc0, need0 = accel_sorted(state.pos, state.mass, state.alive,
+                                   params, kernel)
+        return state, perm, acc0, need0, kernel
+
+    @functools.partial(jax.jit, static_argnames=("n_steps",))
+    def loop_fn(state, perm, acc, need0, kernel, params, n_steps: int):
+        def one(carry, i):
+            state, acc, perm, heavy_max, resc_max = carry
+            half = params.dt * 0.5
+            vel = state.vel + acc * half
+            pos = state.pos + vel * params.dt
+            a2, need = accel_sorted(pos, state.mass, state.alive, params,
+                                    kernel)
+            vel = vel + a2 * half
+            state = state._replace(pos=pos, vel=vel, step=state.step + 1)
+            state, heavy = merge_bodies(state, params,
+                                        heavy_cap=merge_heavy_cap)
+
+            def resort(st, a, p):
+                o = sort_order(st)
+                return permute(st, o), a[o], p[o]
+
+            state, a2, perm = jax.lax.cond(
+                (i + 1) % K == 0, resort, lambda st, a, p: (st, a, p),
+                state, a2, perm)
+            return (state, a2, perm, jnp.maximum(heavy_max, heavy),
+                    jnp.maximum(resc_max, need)), None
+
+        init = (state, acc, perm, jnp.int32(0), need0)
+        (state, acc, perm, heavy, resc), _ = jax.lax.scan(
+            one, init, jnp.arange(n_steps))
+        state = permute(state, jnp.argsort(perm))
+        return state, {"trav": None, "heavy_need": heavy,
+                       "rescue_need": resc}
+
+    def step_n(state: SimState, params: Params, n_steps: int = 1):
+        state, perm, acc0, need0, kernel = seed_fn(state, params)
+        return loop_fn(state, perm, acc0, need0, kernel, params,
+                       n_steps=n_steps)
+
+    return step_n
+
+
 def make_step_fn(cfg: SimConfig, caps: Caps, solver: str, integrator: str,
                  strict_parity: bool, merge_heavy_cap: int,
                  allpairs_impl: str = "auto") -> Callable:
@@ -213,6 +310,8 @@ def make_step_fn(cfg: SimConfig, caps: Caps, solver: str, integrator: str,
     max-reduced over the executed steps; the engine uses it to retune the
     traversal caps and the merge heavy cap on overflow.
     """
+    if solver == "pm" and integrator == "kdk_reuse" and cfg.pm_persistent_sort:
+        return _make_pm_sorted_step(cfg, merge_heavy_cap)
     if solver == "bh":
         accel_stats = make_bh_accel(cfg, caps, strict_parity)
     elif solver == "allpairs":
@@ -249,10 +348,12 @@ def make_step_fn(cfg: SimConfig, caps: Caps, solver: str, integrator: str,
         def one_step(state, params):
             del stats_holder[:]
             state = int_step(state, params, accel)
-            st = functools.reduce(max_stats, stats_holder, None)
+            trav, resc = _split_aux(
+                functools.reduce(max_stats, stats_holder, None))
             state, heavy = merge_bodies(state, params,
                                         heavy_cap=merge_heavy_cap)
-            return state, {"trav": st, "heavy_need": heavy}
+            return state, {"trav": trav, "heavy_need": heavy,
+                           "rescue_need": resc}
 
         @functools.partial(jax.jit, static_argnames=("n_steps",))
         def step_n(state: SimState, params: Params, n_steps: int = 1):
@@ -276,10 +377,12 @@ def make_step_fn(cfg: SimConfig, caps: Caps, solver: str, integrator: str,
         def one_step(state, acc, params):
             del stats_holder[:]
             state, acc = integrate.kdk_reuse_step(state, acc, params, accel)
-            st = functools.reduce(max_stats, stats_holder, None)
+            trav, resc = _split_aux(
+                functools.reduce(max_stats, stats_holder, None))
             state, heavy = merge_bodies(state, params,
                                         heavy_cap=merge_heavy_cap)
-            return state, acc, {"trav": st, "heavy_need": heavy}
+            return state, acc, {"trav": trav, "heavy_need": heavy,
+                                "rescue_need": resc}
 
         # The seed force pass runs in its OWN executable: at large N two
         # traversal instances in one XLA program crash this backend's TPU
@@ -294,9 +397,10 @@ def make_step_fn(cfg: SimConfig, caps: Caps, solver: str, integrator: str,
             aux_cell[0] = aux
             del stats_holder[:]
             acc0 = accel(state.pos, state.mass, state.alive, params)
-            seed_st = {"trav": functools.reduce(max_stats, stats_holder,
-                                                None),
-                       "heavy_need": jnp.int32(0)}
+            trav, resc = _split_aux(
+                functools.reduce(max_stats, stats_holder, None))
+            seed_st = {"trav": trav, "heavy_need": jnp.int32(0),
+                       "rescue_need": resc}
             return acc0, seed_st, aux
 
         @functools.partial(jax.jit, static_argnames=("n_steps",))
@@ -345,6 +449,14 @@ class Engine:
         self.state = state_lib.empty_state(cfg.capacity, cfg.dim, cfg.jdtype)
         self.last_stats: traverse.TraversalStats | None = None
         self.last_heavy_need: int = 0
+        # Max rescue partner blocks any band block wanted in the last step
+        # (pm solver). Informational: with closest-first partner ranking,
+        # need > cfg.mesh_rescue means the FARTHEST candidate boxes (whose
+        # pair weights are smallest) were dropped — measured at N=1M the
+        # dense core wants up to 97 partners while k=12 already matches the
+        # k=24 accuracy (PERFORMANCE.md), so the engine deliberately does
+        # NOT auto-grow this cap.
+        self.last_rescue_need: int = 0
         self._step_fn = None
 
     # ------------------------------------------------------------ stepping
@@ -361,6 +473,7 @@ class Engine:
         stats = jax.tree.map(np.asarray, stats)
         self.last_stats = stats["trav"]
         self.last_heavy_need = int(stats["heavy_need"])
+        self.last_rescue_need = int(stats.get("rescue_need", 0))
         return stats
 
     def _overflowed(self, stats) -> bool:

@@ -184,8 +184,12 @@ def _block_rescue(spos, smass, salive, soft2, a, *, band: int, k: int,
     Coverage is exact up to the cutoff (the switch weight at r = 2a is
     exp(-16) ~ 1e-7) PROVIDED no block needs more than ``k`` partners;
     returns (acc_sorted (cap, 2), need) where ``need`` is the max partner
-    count so the engine can detect overflow and retune like the traversal
-    caps (engine.py Caps).
+    count any block wanted. The engine surfaces it as
+    ``Engine.last_rescue_need`` but deliberately does NOT auto-grow ``k``:
+    partners are ranked closest-box-first, so overflow drops only the
+    farthest boxes, whose pair weights are the smallest (measured at N=1M
+    the dense core wants up to 97 partners while k=12 already matches k=24
+    accuracy — PERFORMANCE.md).
     """
     cap = spos.shape[0]
     S = band
@@ -233,7 +237,7 @@ def _block_rescue(spos, smass, salive, soft2, a, *, band: int, k: int,
         # partners are the farthest (their pair weights are the smallest)
         score = jnp.where(mask, rcut2 - g2, 0.0)
         mval, midx = jax.lax.top_k(score, k)                # (cb, k)
-        mval = (mval > 0).astype(jnp.float32)
+        mval = (mval > 0).astype(dtype)
         part = Xb[midx].reshape(cb, k, S, 3)                # block row gather
         pm = part[..., 2] * mval[:, :, None]                # invalid -> m=0
         px = part[..., 0].reshape(cb, k * S)
@@ -348,8 +352,12 @@ def _mesh_force(spos, smass, origin, h, nw, grid, soft2, a, order, kernel):
     phi = jnp.fft.irfft2(rho_hat * phi_hat, s=(grid, grid))
     # 6th-order FD gradient, evaluated only on the (nw+1)-sized window the
     # interpolation reads (cells 0..nw each axis). The stencil reaches
-    # [-3, nw+3]; roll wraps the three negative taps to the far padded edge,
-    # where the doubled-domain potential is still valid for near-edge cells.
+    # [-3, nw+3]; roll wraps the three negative taps to the far padded edge.
+    # Those taps read the aliased region of the doubled-domain convolution
+    # (wrap-around from mass near the opposite world edge); the alias is
+    # bounded by the far-field kernel smoothness — O(h*M/L^2) after
+    # differencing — and negligible next to the mesh error, but boundary
+    # cells are not exact (zero-pad phi by 3 rows/cols if that ever matters).
     win = nw + 7
     pw = jnp.roll(phi, (3, 3), axis=(0, 1))[:win, :win]
     c1 = 45.0 / (60.0 * h)
@@ -363,6 +371,51 @@ def _mesh_force(spos, smass, origin, h, nw, grid, soft2, a, order, kernel):
           - c2 * (pw[5:5 + m, 3:3 + m] - pw[1:1 + m, 3:3 + m])
           + c3 * (pw[6:6 + m, 3:3 + m] - pw[0:0 + m, 3:3 + m]))
     return _interp_packed(fx, fy, base, w, nw)
+
+
+def pm_accel_sorted(spos, smass, salive, G, soft2, origin, root_side, *,
+                    mesh_level: int, split_cells: float, band: int,
+                    chunk: int, order: int = 2, interlace: bool = False,
+                    rescue_k: int = 0, kernel=None):
+    """P3M acceleration in the Hilbert-SORTED frame: (n, 2) -> (n, 2).
+
+    The body arrays must already be in Hilbert order over the root quad
+    (``_hilbert_sort``); the returned acceleration is in the same order.
+    Splitting this out of :func:`pm_accel` lets a step loop keep its state
+    permanently sorted (integrate/merge are order-agnostic) and pay the
+    36 ms argsort + 19 ms unsort gather (N=1M) once per resort interval
+    instead of once per force pass — the round-2 per-phase table's largest
+    self-inflicted cost. Returns ``(acc_sorted, rescue_need)``.
+    """
+    dtype = spos.dtype
+    origin = jnp.asarray(origin, dtype)
+    root_side = jnp.asarray(root_side, dtype)
+    nw = 1 << mesh_level
+    grid = 2 * nw
+    h = root_side / nw
+    a = split_cells * h
+    smass = jnp.where(salive, smass, 0.0)
+
+    if kernel is None:
+        kernel = _kernel_hats(grid, h, soft2, a, dtype)
+    acc_mesh = _mesh_force(spos, smass, origin, h, nw, grid, soft2, a,
+                           order, kernel)
+    if interlace:
+        acc_mesh = 0.5 * (acc_mesh + _mesh_force(
+            spos, smass, origin - 0.5 * h, h, nw, grid, soft2, a, order,
+            kernel))
+
+    acc_short = _band_short_range(spos, smass, soft2, a, band=band,
+                                  chunk=chunk)
+    rescue_need = jnp.int32(0)
+    if rescue_k:
+        acc_r, rescue_need = _block_rescue(spos, smass, salive, soft2, a,
+                                           band=band, k=rescue_k,
+                                           chunk=chunk)
+        acc_short = acc_short + acc_r
+
+    acc = (acc_mesh + acc_short) * salive[:, None].astype(dtype)
+    return G * acc, rescue_need
 
 
 @functools.partial(jax.jit, static_argnames=("mesh_level", "split_cells",
@@ -396,37 +449,14 @@ def pm_accel(pos, mass, alive, G, soft2, origin, root_side, *,
     the kernel FFTs are recomputed per call (fine for one-shot use, wasteful
     inside a step loop).
     """
-    dtype = pos.dtype
-    origin = jnp.asarray(origin, dtype)
-    root_side = jnp.asarray(root_side, dtype)
-    nw = 1 << mesh_level            # world cells per side
-    grid = 2 * nw                   # padded FFT grid
-    h = root_side / nw
-    a = split_cells * h
-
     spos, smass, salive, unsort = _hilbert_sort(pos, mass, alive, origin,
                                                 root_side)
-
-    if kernel is None:
-        kernel = _kernel_hats(grid, h, soft2, a, dtype)
-    acc_mesh = _mesh_force(spos, smass, origin, h, nw, grid, soft2, a,
-                           order, kernel)
-    if interlace:
-        acc_mesh = 0.5 * (acc_mesh + _mesh_force(
-            spos, smass, origin - 0.5 * h, h, nw, grid, soft2, a, order,
-            kernel))
-
-    acc_short = _band_short_range(spos, smass, soft2, a, band=band,
-                                  chunk=chunk)
-    rescue_need = jnp.int32(0)
-    if rescue_k:
-        acc_r, rescue_need = _block_rescue(spos, smass, salive, soft2, a,
-                                           band=band, k=rescue_k,
-                                           chunk=chunk)
-        acc_short = acc_short + acc_r
-
-    acc = (acc_mesh + acc_short) * salive[:, None].astype(dtype)
-    out = G * acc[unsort]
+    acc, rescue_need = pm_accel_sorted(
+        spos, smass, salive, G, soft2, origin, root_side,
+        mesh_level=mesh_level, split_cells=split_cells, band=band,
+        chunk=chunk, order=order, interlace=interlace, rescue_k=rescue_k,
+        kernel=kernel)
+    out = acc[unsort]
     if return_stats:
         return out, {"rescue_need": rescue_need}
     return out
