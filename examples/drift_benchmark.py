@@ -34,6 +34,15 @@ def main():
     ap.add_argument("--steps", type=int, default=10_000)
     ap.add_argument("--report-every", type=int, default=1_000)
     ap.add_argument("--theta", type=float, default=0.5)
+    ap.add_argument("--integrator", default="kdk",
+                    choices=["kdk", "kdk_reuse"],
+                    help="with merging disabled (as here) kdk_reuse is "
+                         "trajectory-identical to the literal 2-pass kdk "
+                         "(the reused closing kick IS the next opening "
+                         "kick); use it for the bh solver on the tunnel "
+                         "backend, where two traversal instances in one "
+                         "executable kernel-fault the TPU worker "
+                         "(PERFORMANCE.md)")
     ap.add_argument("--checkpoint", default=None,
                     help="optional .npz path saved at every report")
     args = ap.parse_args()
@@ -48,7 +57,8 @@ def main():
     cfg = SimConfig(capacity=cap, max_depth=12, mesh_level=11,
                     mesh_band=128, mesh_chunk=min(32768, cap))
     params = Params.default(theta=args.theta, merge_min_dist=0.0)
-    eng = Engine(cfg, params, solver=args.solver, integrator="kdk")
+    eng = Engine(cfg, params, solver=args.solver,
+                 integrator=args.integrator)
     n2 = args.n // 5
     eng.reset_default_scene(n1=args.n - n2, n2=n2)
 

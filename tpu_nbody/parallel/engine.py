@@ -35,6 +35,7 @@ from tpu_nbody.config import Params, SimConfig
 from tpu_nbody.engine import Engine, _next_pow2
 from tpu_nbody.parallel.mesh import BODY_AXIS, make_mesh
 from tpu_nbody.parallel.sharded import make_sharded_step
+from tpu_nbody.parallel.sharded_bh import make_sharded_bh_step
 from tpu_nbody.parallel.sharded_pm import (make_sharded_pm_step,
                                            reshard_by_hilbert)
 
@@ -42,21 +43,29 @@ from tpu_nbody.parallel.sharded_pm import (make_sharded_pm_step,
 class ShardedEngine(Engine):
     """Engine-parity API with bodies sharded over a device mesh.
 
-    solver: ``"pm"`` (domain-decomposed P3M — the scale path) or
+    solver: ``"pm"`` (domain-decomposed P3M — the scale path), ``"bh"``
+    (domain-decomposed trees + locally-essential export,
+    :mod:`tpu_nbody.parallel.sharded_bh` — the reference-MAC path), or
     ``"allpairs"`` (exact ppermute-ring — the parity/check path).
     """
 
     def __init__(self, cfg: SimConfig, params: Params | None = None, *,
                  mesh=None, solver: str = "pm", integrator: str = "kdk",
                  reshard_every: int = 8, heavy_cap_local: int = 16,
+                 let_approx_cap: int = 2048, let_body_cap: int = 2048,
+                 let_leaf_cap: int = 512, let_frontier_cap: int = 4096,
                  axis: str = BODY_AXIS, seed: int = 3):
-        if solver not in ("pm", "allpairs"):
+        if solver not in ("pm", "bh", "allpairs"):
             raise ValueError(
-                f"ShardedEngine supports pm|allpairs, got {solver!r}")
+                f"ShardedEngine supports pm|bh|allpairs, got {solver!r}")
         self.mesh = mesh if mesh is not None else make_mesh()
         self.axis = axis
         self.reshard_every = int(reshard_every)
         self.heavy_cap_local = int(heavy_cap_local)
+        self.let_approx_cap = int(let_approx_cap)
+        self.let_body_cap = int(let_body_cap)
+        self.let_leaf_cap = int(let_leaf_cap)
+        self.let_frontier_cap = int(let_frontier_cap)
         self._steps_since_reshard = 0
         self._sharded = False
         super().__init__(cfg, params, solver=solver, integrator=integrator,
@@ -68,6 +77,14 @@ class ShardedEngine(Engine):
             self._step_fn = make_sharded_pm_step(
                 self.mesh, self.cfg, integrator=self.integrator,
                 heavy_cap_local=self.heavy_cap_local, axis=self.axis)
+        elif self.solver == "bh":
+            self._step_fn = make_sharded_bh_step(
+                self.mesh, self.cfg, self.caps,
+                heavy_cap_local=self.heavy_cap_local,
+                let_approx_cap=self.let_approx_cap,
+                let_body_cap=self.let_body_cap,
+                let_leaf_cap=self.let_leaf_cap,
+                let_frontier_cap=self.let_frontier_cap, axis=self.axis)
         else:
             self._step_fn = make_sharded_step(
                 self.mesh, integrator=self.integrator,
@@ -78,6 +95,56 @@ class ShardedEngine(Engine):
                                         axis=self.axis)
         self._steps_since_reshard = 0
         self._sharded = True
+
+    def _grow_on_overflow(self, aux) -> bool:
+        """Grow caps after an overflowing block; True if anything changed.
+
+        Mirrors the single-chip engine's auto-retune: heavy-cap overflow
+        (all solvers), plus local-tree traversal caps and LET export caps
+        for the BH solver (dropped export rows mean silently missing
+        cross-shard forces).
+        """
+        import numpy as np
+
+        grewn = False
+        slots_local = self.cfg.capacity // self.mesh.shape[self.axis]
+        heavy = int(np.asarray(aux.heavy_need if hasattr(aux, "heavy_need")
+                               else aux))
+        self.last_heavy_need = heavy
+        if heavy > self.heavy_cap_local and self.heavy_cap_local < slots_local:
+            self.heavy_cap_local = min(slots_local, _next_pow2(2 * heavy))
+            grewn = True
+        if hasattr(aux, "trav"):
+            trav = jax.tree.map(np.asarray, aux.trav)
+            self.last_stats = trav
+            if bool(trav.overflowed(self.caps.as_dict())):
+                grown = self.caps.grown(trav)
+                if grown != self.caps:
+                    self.caps = grown
+                    grewn = True
+            need = int(np.asarray(aux.export_need))
+            cap = self.let_approx_cap + self.let_body_cap
+            if need > cap:
+                # grow both pools toward 2x the observed need, keeping the
+                # approx/body split proportional to their observed parts
+                self.let_approx_cap = max(
+                    self.let_approx_cap,
+                    _next_pow2(2 * int(np.asarray(aux.let_approx_need))))
+                self.let_body_cap = max(
+                    self.let_body_cap,
+                    _next_pow2(2 * max(need
+                                       - int(np.asarray(aux.let_approx_need)),
+                                       1)))
+                grewn = True
+            if int(np.asarray(aux.let_leaf_need)) > self.let_leaf_cap:
+                self.let_leaf_cap = _next_pow2(
+                    2 * int(np.asarray(aux.let_leaf_need)))
+                grewn = True
+            if int(np.asarray(aux.let_frontier_need)) > self.let_frontier_cap:
+                self.let_frontier_cap = _next_pow2(
+                    2 * int(np.asarray(aux.let_frontier_need)))
+                grewn = True
+        return grewn
 
     def step(self, n: int = 1):
         """Advance ``n`` steps; reshard every ``reshard_every`` steps."""
@@ -92,21 +159,16 @@ class ShardedEngine(Engine):
             blk = min(remaining,
                       self.reshard_every - self._steps_since_reshard)
             pre = self.state
-            new_state, heavy = self._step_fn(self.state, self.params,
-                                             n_steps=blk)
-            need = int(heavy)
-            slots_local = self.cfg.capacity // self.mesh.shape[self.axis]
-            while (need > self.heavy_cap_local
-                   and self.heavy_cap_local < slots_local):
-                # absorbers were dropped: grow the local heavy cap and
-                # redo the block from its pre-block state
-                self.heavy_cap_local = min(slots_local,
-                                           _next_pow2(2 * need))
+            new_state, aux = self._step_fn(self.state, self.params,
+                                           n_steps=blk)
+            # Overflow means interactions/absorbers were dropped: retune
+            # and redo the block from its pre-block state.
+            rounds = 0
+            while rounds < 6 and self._grow_on_overflow(aux):
                 self._build_step()
-                new_state, heavy = self._step_fn(pre, self.params,
-                                                 n_steps=blk)
-                need = int(heavy)
-            self.last_heavy_need = need
+                new_state, aux = self._step_fn(pre, self.params,
+                                               n_steps=blk)
+                rounds += 1
             self.state = new_state
             self._steps_since_reshard += blk
             remaining -= blk
