@@ -14,7 +14,7 @@ from tests import oracle
 MAX_DEPTH = 8
 
 
-def _bh_accel(pos, mass, alive, theta, caps=None):
+def _bh_accel(pos, mass, alive, theta, caps=None, traversal="dense"):
     cfg = C.SimConfig(capacity=pos.shape[0])
     origin = (cfg.root_center[0] - cfg.root_half,
               cfg.root_center[1] - cfg.root_half)
@@ -28,7 +28,8 @@ def _bh_accel(pos, mass, alive, theta, caps=None):
         max_depth=MAX_DEPTH, frontier_cap=caps.get("frontier_cap", 1024),
         approx_cap=caps.get("approx_cap", 2048),
         leaf_list_cap=caps.get("leaf_list_cap", 512),
-        direct_body_cap=caps.get("direct_body_cap", 4096), group_chunk=16)
+        direct_body_cap=caps.get("direct_body_cap", 4096), group_chunk=16,
+        traversal=traversal)
 
 
 def _galaxy(n, cap):
@@ -104,6 +105,22 @@ def test_bh_matches_exact_at_tiny_theta():
     rel = (np.linalg.norm(got - ref, axis=-1)
            / (np.linalg.norm(ref, axis=-1) + 1e-9))[np.asarray(alive)]
     assert rel.max() < 1e-3
+
+
+@pytest.mark.parametrize("theta", [0.3, 0.7])
+def test_dense_traversal_equals_bfs(theta):
+    """The dense monotone-MAC classification must reproduce the wave BFS
+    exactly: same accept/direct sets (same pass criterion, and pass() is
+    monotone down the tree so 'accepted' == pass(n) & !pass(parent)), same
+    list order (both ascending node id), hence bit-identical forces AND
+    identical need stats (except frontier_need, which only the BFS has)."""
+    pos, mass, alive = _galaxy(1500, 1536)
+    acc_d, st_d = _bh_accel(pos, mass, alive, theta, traversal="dense")
+    acc_b, st_b = _bh_accel(pos, mass, alive, theta, traversal="bfs")
+    np.testing.assert_array_equal(np.asarray(acc_d), np.asarray(acc_b))
+    for f in ("approx_need", "leaf_need", "direct_need", "group_need",
+              "node_need", "group_size_need"):
+        assert int(getattr(st_d, f)) == int(getattr(st_b, f)), f
 
 
 def test_overflow_is_reported():

@@ -168,18 +168,21 @@ def main():
         rho = deposit_sorted_scatter(smass, b, ww, nw, grid)
         return rho[0, 0] + jnp.sum(rho[0, :8]) + s
 
+    # rho must be an ARGUMENT: a closed-over (grid, grid) array gets inlined
+    # as a 256 MB mlir constant, which this backend rejects (UNIMPLEMENTED).
     @jax.jit
-    def ph_fft_base(s):
-        rho = rho_ex + s * 1e-6
-        phi = jnp.fft.irfft2(jnp.fft.rfft2(rho) * kernel[2],
+    def _fft_base(rho, s):
+        phi = jnp.fft.irfft2(jnp.fft.rfft2(rho + s * 1e-6) * kernel[2],
                              s=(grid, grid))
         return phi[0, 0] + s
 
     @jax.jit
-    def ph_fft_trim(s):
-        rho = rho_ex + s * 1e-6
-        phi = fft_trimmed(rho, kernel[2], nw, grid)
+    def _fft_trim(rho, s):
+        phi = fft_trimmed(rho + s * 1e-6, kernel[2], nw, grid)
         return phi[0, 0] + s
+
+    ph_fft_base = lambda s: _fft_base(rho_ex, s)
+    ph_fft_trim = lambda s: _fft_trim(rho_ex, s)
 
     def band_fn(chunk):
         @jax.jit

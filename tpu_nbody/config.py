@@ -77,6 +77,9 @@ class SimConfig:
     direct_body_cap: int = 4096    # max direct (body-body) partners per group
     frontier_cap: int = 2048       # max BFS frontier nodes per wave per group
     group_chunk: int = 64          # groups evaluated per lax.map chunk (memory bound)
+    bh_traversal: str = "dense"    # "dense" = local monotone-MAC classify
+                                   # (no BFS — see ops/traverse.py), "bfs" =
+                                   # wave traversal (cross-check path)
     # P3M ("pm") solver knobs.
     mesh_level: int = 11           # world grid = 2^level per side over the root
     mesh_split: float = 4.0        # short/long split radius in cell units

@@ -155,7 +155,7 @@ def make_bh_accel(cfg: SimConfig, caps: Caps, strict_parity: bool = False):
             max_depth=cfg.max_depth, frontier_cap=caps.frontier_cap,
             approx_cap=caps.approx_cap, leaf_list_cap=caps.leaf_list_cap,
             direct_body_cap=caps.direct_body_cap,
-            group_chunk=cfg.group_chunk)
+            group_chunk=cfg.group_chunk, traversal=cfg.bh_traversal)
 
     return accel
 

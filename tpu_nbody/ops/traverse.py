@@ -170,6 +170,99 @@ def _traverse_all(tree: Tree, gmin, gmax, gvalid, theta2, soft2, *,
     return approx, a_len, leaves, l_len, f_need
 
 
+def _box_pass(gmin, gmax, cx, cy, half, side2, theta2, soft2):
+    """Group-MAC pass mask for (G,) group boxes x (NC,) node cells.
+
+    pass <=> s^2 < theta^2 * (gap^2 + eps^2)  and  gap > 0, with gap the
+    min distance between the group AABB and the node's cell box — the same
+    conservative form the wave traversal uses (every body is inside the
+    group box and the node COM inside its cell, so any accepted pair also
+    satisfies the reference per-body MAC ``BarnesHutAlg.kt:225-228``).
+    """
+    gapx = jnp.maximum(0.0, jnp.maximum((cx - half)[None, :] - gmax[:, 0:1],
+                                        gmin[:, 0:1] - (cx + half)[None, :]))
+    gapy = jnp.maximum(0.0, jnp.maximum((cy - half)[None, :] - gmax[:, 1:2],
+                                        gmin[:, 1:2] - (cy + half)[None, :]))
+    d2 = gapx * gapx + gapy * gapy
+    return (side2[None, :] < theta2 * (d2 + soft2)) & (d2 > 0)
+
+
+def _compact_rows(mask, cap_, *, use_topk: bool):
+    """Per-row indices of set bits, compacted left and padded with 0.
+
+    mask (G, NC) -> (idx (G, cap_) int32, len (G,) clipped, total (G,) exact).
+    Two interchangeable lowerings for this backend: ``top_k`` on a
+    descending-id score (one fused partial sort) or cumsum + vmapped binary
+    search (the tree build's owner-compaction trick). Selected statically;
+    both return ids in ascending order.
+    """
+    G, NC = mask.shape
+    total = jnp.sum(mask.astype(jnp.int32), axis=1)
+    k = min(cap_, NC)
+    if use_topk:
+        ids = jnp.arange(NC, dtype=jnp.int32)
+        score = jnp.where(mask, NC - ids, 0)
+        val, idx = jax.lax.top_k(score, k)
+        idx = jnp.where(val > 0, idx, 0).astype(jnp.int32)
+    else:
+        kk = jnp.cumsum(mask.astype(jnp.int32), axis=1)
+        j = jnp.arange(k, dtype=jnp.int32)
+        idx = jax.vmap(
+            lambda row: jnp.searchsorted(row, j + 1, side="left"))(kk)
+        idx = jnp.clip(idx, 0, NC - 1).astype(jnp.int32)
+        idx = jnp.where(j[None, :] < jnp.minimum(total, k)[:, None], idx, 0)
+    if k < cap_:
+        idx = jnp.pad(idx, ((0, 0), (0, cap_ - k)))
+    return idx, jnp.minimum(total, cap_), total
+
+
+def _classify_dense(tree: Tree, gmin, gmax, gvalid, theta2, soft2, *,
+                    approx_cap, leaf_list_cap, use_topk: bool = True):
+    """Dense local MAC classification — the BFS-free traversal.
+
+    The conservative group MAC is monotone down the tree: a node's children
+    have half its cell side and at-least-its box gap, so ``pass(parent)``
+    implies ``pass(child)`` (and contrapositively ``!pass(parent)`` implies
+    no ancestor passed). A wave traversal therefore carries no information a
+    local test can't reconstruct:
+
+        accepted multipole  <=>  pass(n) and not pass(parent(n))
+        direct leaf         <=>  leaf(n) and not pass(n)
+
+    which turns the traversal into ONE dense (groups x nodes) mask
+    computation — pure broadcast arithmetic at VPU rates, no frontier row
+    gathers, no per-wave list appends (the round-2 BH profile's dominant
+    cost) — followed by one compaction per list. Returns the same
+    (approx, a_len, leaves, l_len, needs) the wave traversal produced, with
+    *exact* needs (the wave version could only lower-bound them past a
+    truncated frontier).
+    """
+    rows = tree.node_rows
+    NC = rows.shape[0]
+    node_valid = jnp.arange(NC, dtype=jnp.int32) < tree.n_nodes
+    occupied = node_valid & (rows[:, 0] > 0)
+    cx, cy, side = rows[:, 3], rows[:, 4], rows[:, 5]
+    is_leaf = rows[:, 6] < 0
+    par = tree.parent
+    has_parent = par >= 0
+    psafe = jnp.maximum(par, 0)
+    pcx, pcy, pside = cx[psafe], cy[psafe], side[psafe]
+
+    pass_n = _box_pass(gmin, gmax, cx, cy, 0.5 * side, side * side,
+                       theta2, soft2)
+    pass_p = _box_pass(gmin, gmax, pcx, pcy, 0.5 * pside, pside * pside,
+                       theta2, soft2) & has_parent[None, :]
+    live = occupied[None, :] & gvalid[:, None]
+    accept = live & pass_n & ~pass_p
+    direct = live & is_leaf[None, :] & ~pass_n
+
+    approx, a_len, a_tot = _compact_rows(accept, approx_cap,
+                                         use_topk=use_topk)
+    leaves, l_len, l_tot = _compact_rows(direct, leaf_list_cap,
+                                         use_topk=use_topk)
+    return approx, a_len, leaves, l_len, a_tot, l_tot
+
+
 def _direct_partners_all(tree: Tree, leaves, l_len, *, direct_body_cap):
     """Flatten per-group leaf body ranges into padded partner-slot arrays."""
     G, L = leaves.shape
@@ -206,14 +299,19 @@ def _point_accel(bpos, src_pos, src_mass, soft2):
     jax.jit,
     static_argnames=("group_size", "group_cap", "max_depth", "frontier_cap",
                      "approx_cap", "leaf_list_cap", "direct_body_cap",
-                     "group_chunk"))
+                     "group_chunk", "traversal"))
 def bh_accel_from_tree(tree: Tree, theta, soft2, G, *, group_size: int,
                        group_cap: int, max_depth: int, frontier_cap: int,
                        approx_cap: int, leaf_list_cap: int,
-                       direct_body_cap: int, group_chunk: int):
+                       direct_body_cap: int, group_chunk: int,
+                       traversal: str = "dense"):
     """BH accelerations for all bodies; returns (acc, stats).
 
-    ``acc`` is in ORIGINAL body order.
+    ``acc`` is in ORIGINAL body order. ``traversal`` selects the list
+    builder: ``"dense"`` (local monotone-MAC classification,
+    :func:`_classify_dense` — the fast path) or ``"bfs"`` (lockstep wave
+    traversal, kept as the independently-derived cross-check; both produce
+    the identical accept/direct sets, tested in tests/test_bh.py).
     """
     cap, _ = tree.spos.shape
     GS = min(group_size, cap)
@@ -237,10 +335,15 @@ def bh_accel_from_tree(tree: Tree, theta, soft2, G, *, group_size: int,
 
     gmin, gmax = jax.vmap(aabb)(gstart, gcount, gvalid)
 
-    # Chunk the traversal over groups: per-wave temporaries are
-    # (groups x frontier_cap x 10-lane rows) and at large N a single batch
+    # Chunk the traversal over groups: the BFS path's per-wave temporaries
+    # are (groups x frontier_cap x 10-lane rows) and the dense path's masks
+    # are (groups x num_nodes) — either way a single full batch at large N
     # allocates gigabytes (observed to hard-crash this backend's worker).
-    tchunk = min(group_cap, 4096)
+    if traversal == "dense":
+        tchunk = max(64, (1 << 25) // max(NC, 1))
+    else:
+        tchunk = 4096
+    tchunk = min(group_cap, tchunk)
     n_tchunks = -(-group_cap // tchunk)
     tpad = n_tchunks * tchunk
 
@@ -250,20 +353,27 @@ def bh_accel_from_tree(tree: Tree, theta, soft2, G, *, group_size: int,
 
     def trav_chunk(args):
         gmn, gmx, gv = args
-        apx, al, lv, ll, fn = _traverse_all(
-            tree, gmn, gmx, gv, theta2, soft2, max_depth=max_depth,
-            frontier_cap=frontier_cap, approx_cap=approx_cap,
-            leaf_list_cap=leaf_list_cap)
+        if traversal == "dense":
+            apx, al, lv, ll, a_tot, l_tot = _classify_dense(
+                tree, gmn, gmx, gv, theta2, soft2, approx_cap=approx_cap,
+                leaf_list_cap=leaf_list_cap)
+            fn = jnp.zeros_like(a_tot)
+        else:
+            apx, al, lv, ll, fn = _traverse_all(
+                tree, gmn, gmx, gv, theta2, soft2, max_depth=max_depth,
+                frontier_cap=frontier_cap, approx_cap=approx_cap,
+                leaf_list_cap=leaf_list_cap)
+            a_tot, l_tot = al, ll  # wave lengths count every append (uncapped)
         psl, pv, dn = _direct_partners_all(
             tree, lv, ll, direct_body_cap=direct_body_cap)
-        return apx, al, ll, psl, pv, dn, fn
+        return apx, al, ll, psl, pv, dn, fn, a_tot, l_tot
 
     targs = jax.tree.map(
         lambda x: x.reshape((n_tchunks, tchunk) + x.shape[1:]),
         (pad_groups(gmin, 0.0), pad_groups(gmax, 0.0),
          pad_groups(gvalid, False)))
-    apx_c, al_c, ll_c, psl_c, pv_c, dn_c, fn_c = jax.lax.map(
-        trav_chunk, targs)
+    (apx_c, al_c, ll_c, psl_c, pv_c, dn_c, fn_c, at_c,
+     lt_c) = jax.lax.map(trav_chunk, targs)
     approx = apx_c.reshape(tpad, approx_cap)[:group_cap]
     a_len = al_c.reshape(tpad)[:group_cap]
     l_len = ll_c.reshape(tpad)[:group_cap]
@@ -271,6 +381,8 @@ def bh_accel_from_tree(tree: Tree, theta, soft2, G, *, group_size: int,
     pvalid = pv_c.reshape(tpad, direct_body_cap)[:group_cap]
     d_need = dn_c.reshape(tpad)[:group_cap]
     f_need = fn_c.reshape(tpad)[:group_cap]
+    a_need = at_c.reshape(tpad)[:group_cap]
+    l_need = lt_c.reshape(tpad)[:group_cap]
 
     # ---- force evaluation, chunked over groups (pure gather + math) ----
     def one_group(gs, gc, gv, apx, al, psl, pv):
@@ -312,7 +424,7 @@ def bh_accel_from_tree(tree: Tree, theta, soft2, G, *, group_size: int,
     acc_sorted = jnp.where(in_range[:, None], acc_sorted, 0.0)
     acc = acc_sorted[tree.unsort]
 
-    maxes = (jnp.max(a_len), jnp.max(l_len), jnp.max(d_need),
+    maxes = (jnp.max(a_need), jnp.max(l_need), jnp.max(d_need),
              jnp.max(f_need))
     # Coverage guard (see TraversalStats): the largest leaf population.
     # Only a max-depth leaf can exceed leaf_size, so this stays small unless
