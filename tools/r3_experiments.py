@@ -168,21 +168,22 @@ def main():
         rho = deposit_sorted_scatter(smass, b, ww, nw, grid)
         return rho[0, 0] + jnp.sum(rho[0, :8]) + s
 
-    # rho must be an ARGUMENT: a closed-over (grid, grid) array gets inlined
-    # as a 256 MB mlir constant, which this backend rejects (UNIMPLEMENTED).
+    # rho AND the kernel must be ARGUMENTS: a closed-over (grid, grid) or
+    # (grid, grid/2+1) complex array gets inlined as a >256 MB mlir
+    # constant, which this backend rejects (UNIMPLEMENTED).
     @jax.jit
-    def _fft_base(rho, s):
-        phi = jnp.fft.irfft2(jnp.fft.rfft2(rho + s * 1e-6) * kernel[2],
+    def _fft_base(rho, ph, s):
+        phi = jnp.fft.irfft2(jnp.fft.rfft2(rho + s * 1e-6) * ph,
                              s=(grid, grid))
         return phi[0, 0] + s
 
     @jax.jit
-    def _fft_trim(rho, s):
-        phi = fft_trimmed(rho + s * 1e-6, kernel[2], nw, grid)
+    def _fft_trim(rho, ph, s):
+        phi = fft_trimmed(rho + s * 1e-6, ph, nw, grid)
         return phi[0, 0] + s
 
-    ph_fft_base = lambda s: _fft_base(rho_ex, s)
-    ph_fft_trim = lambda s: _fft_trim(rho_ex, s)
+    ph_fft_base = lambda s: _fft_base(rho_ex, kernel[2], s)
+    ph_fft_trim = lambda s: _fft_trim(rho_ex, kernel[2], s)
 
     def band_fn(chunk):
         @jax.jit

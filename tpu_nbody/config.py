@@ -91,6 +91,11 @@ class SimConfig:
                                    # (0 = off); exact recovery of short-range
                                    # pairs split by Hilbert curve
                                    # discontinuities — see ops/mesh.py
+    mesh_xrescue: int = 4          # sharded pm only: cross-shard rescue
+                                   # partner blocks per block (0 = off)
+    mesh_xrescue_export: int = 64  # sharded pm only: exported boundary
+                                   # blocks per shard for the cross-shard
+                                   # rescue exchange
     pm_persistent_sort: bool = True  # pm + kdk_reuse: keep state in Hilbert
                                    # order across scan steps (sort/unsort
                                    # paid once per resort interval, not per

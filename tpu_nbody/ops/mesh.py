@@ -348,18 +348,31 @@ def _mesh_force(spos, smass, origin, h, nw, grid, soft2, a, order, kernel):
     base, w = _cic_cells(spos, origin, h, nw, order)
     rho = _deposit_packed(smass, base, w, nw, grid)
     _, _, phi_hat = kernel
-    rho_hat = jnp.fft.rfft2(rho)
-    phi = jnp.fft.irfft2(rho_hat * phi_hat, s=(grid, grid))
+    # Trimmed transforms (measured bit-exact vs rfft2/irfft2,
+    # tools/r3_experiments.py): the deposit occupies only rows/cols
+    # 0..nw+1 of the doubled padded grid, so the forward row-rffts run on
+    # those nw+2 rows only; and only phi rows -3..nw+3 (the FD window
+    # incl. the wrapped stencil taps) are needed, so the inverse row-irfft
+    # runs on nw+7 of the 2*nw rows. The column transforms must stay full
+    # (every output row mixes all row wavenumbers).
+    occ = nw + 2
+    rh = jnp.fft.rfft(rho[:occ], axis=1)
+    rh = jnp.pad(rh, ((0, grid - occ), (0, 0)))
+    sp = jnp.fft.ifft(jnp.fft.fft(rh, axis=0) * phi_hat, axis=0)
+    rows = jnp.concatenate([sp[-3:], sp[:nw + 4]])        # rows -3..nw+3
+    pw = jnp.fft.irfft(rows, n=grid, axis=1)              # (nw+7, grid)
     # 6th-order FD gradient, evaluated only on the (nw+1)-sized window the
     # interpolation reads (cells 0..nw each axis). The stencil reaches
-    # [-3, nw+3]; roll wraps the three negative taps to the far padded edge.
-    # Those taps read the aliased region of the doubled-domain convolution
-    # (wrap-around from mass near the opposite world edge); the alias is
-    # bounded by the far-field kernel smoothness — O(h*M/L^2) after
-    # differencing — and negligible next to the mesh error, but boundary
-    # cells are not exact (zero-pad phi by 3 rows/cols if that ever matters).
+    # [-3, nw+3]; the three negative taps wrap to the far padded edge
+    # (rows/cols grid-3..grid-1, realized by the sp[-3:] slice above and
+    # the column roll below). Those taps read the aliased region of the
+    # doubled-domain convolution (wrap-around from mass near the opposite
+    # world edge); the alias is bounded by the far-field kernel smoothness
+    # — O(h*M/L^2) after differencing — and negligible next to the mesh
+    # error, but boundary cells are not exact (zero-pad phi by 3 rows/cols
+    # if that ever matters).
     win = nw + 7
-    pw = jnp.roll(phi, (3, 3), axis=(0, 1))[:win, :win]
+    pw = jnp.roll(pw, 3, axis=1)[:, :win]
     c1 = 45.0 / (60.0 * h)
     c2 = 9.0 / (60.0 * h)
     c3 = 1.0 / (60.0 * h)

@@ -68,6 +68,10 @@ class ShardedEngine(Engine):
         self.let_frontier_cap = int(let_frontier_cap)
         self._steps_since_reshard = 0
         self._sharded = False
+        # pm solver: cross-shard rescue export cap (auto-grown on overflow)
+        self.xrescue_export = int(cfg.mesh_xrescue_export)
+        self.last_xport_need = 0
+        self.last_ximport_need = 0
         super().__init__(cfg, params, solver=solver, integrator=integrator,
                          seed=seed, auto_retune=False)
 
@@ -76,7 +80,8 @@ class ShardedEngine(Engine):
         if self.solver == "pm":
             self._step_fn = make_sharded_pm_step(
                 self.mesh, self.cfg, integrator=self.integrator,
-                heavy_cap_local=self.heavy_cap_local, axis=self.axis)
+                heavy_cap_local=self.heavy_cap_local, axis=self.axis,
+                xrescue_export=self.xrescue_export)
         elif self.solver == "bh":
             self._step_fn = make_sharded_bh_step(
                 self.mesh, self.cfg, self.caps,
@@ -114,6 +119,18 @@ class ShardedEngine(Engine):
         if heavy > self.heavy_cap_local and self.heavy_cap_local < slots_local:
             self.heavy_cap_local = min(slots_local, _next_pow2(2 * heavy))
             grewn = True
+        if hasattr(aux, "xport_need"):
+            # pm solver: rescue_need/ximport_need are informational (their
+            # closest-first ranking drops only the farthest boxes), but a
+            # dropped EXPORT hides a block some remote shard explicitly
+            # needs — grow the export cap like the heavy cap.
+            self.last_rescue_need = int(np.asarray(aux.rescue_need))
+            self.last_xport_need = int(np.asarray(aux.xport_need))
+            self.last_ximport_need = int(np.asarray(aux.ximport_need))
+            if (self.cfg.mesh_xrescue > 0
+                    and self.last_xport_need > self.xrescue_export):
+                self.xrescue_export = _next_pow2(2 * self.last_xport_need)
+                grewn = True
         if hasattr(aux, "trav"):
             trav = jax.tree.map(np.asarray, aux.trav)
             self.last_stats = trav

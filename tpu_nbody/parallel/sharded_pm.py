@@ -31,6 +31,7 @@ backend.
 from __future__ import annotations
 
 import functools
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -42,6 +43,21 @@ from tpu_nbody.ops import morton
 from tpu_nbody.parallel.mesh import BODY_AXIS
 from tpu_nbody.parallel.sharded import _merge_sharded
 from tpu_nbody.state import SimState
+
+
+class PmShardStats(NamedTuple):
+    """Per-block aux of the sharded P3M step, pmax-reduced over shards.
+
+    Coverage is exact (up to each pass's documented cutoff) iff
+    ``heavy_need <= heavy_cap_local``, ``rescue_need <= cfg.mesh_rescue``
+    (informational: closest-first ranking drops only the farthest boxes),
+    ``xport_need <= cfg.mesh_xrescue_export`` and
+    ``ximport_need <= cfg.mesh_xrescue``.
+    """
+    heavy_need: jax.Array
+    rescue_need: jax.Array
+    xport_need: jax.Array
+    ximport_need: jax.Array
 
 
 def _slab_fft_phi(rho_local, phi_hat, *, axis, n_shards, grid):
@@ -117,9 +133,146 @@ def _fd_force_window(phi_slab, h, *, axis, n_shards, nw, grid):
     return fx_full[:m], fy_full[:m]
 
 
+def _block_bboxes(spos, smass, salive, band):
+    """Alive-only per-block bounding boxes of the locally-sorted shard.
+
+    Returns (X (B, S, 3) packed pos+mass rows, bbox (B, 4) as
+    [minx, maxx, miny, maxy]); empty/padding blocks get inverted boxes
+    (+big/-big) whose gap to everything is huge, so they never pair."""
+    cap = spos.shape[0]
+    S = band
+    B = -(-cap // S)
+    dtype = spos.dtype
+    pad = B * S - cap
+    fields = jnp.concatenate([spos, smass[:, None]], axis=1)
+    fields = jnp.concatenate([fields, jnp.zeros((pad, 3), dtype)])
+    live = jnp.concatenate([salive, jnp.zeros((pad,), bool)])
+    X = fields.reshape(B, S, 3)
+    lv = live.reshape(B, S)
+    big = jnp.asarray(jnp.finfo(dtype).max, dtype)
+    bbox = jnp.stack(
+        [jnp.min(jnp.where(lv, X[..., 0], big), axis=1),
+         jnp.max(jnp.where(lv, X[..., 0], -big), axis=1),
+         jnp.min(jnp.where(lv, X[..., 1], big), axis=1),
+         jnp.max(jnp.where(lv, X[..., 1], -big), axis=1)], axis=1)
+    return X, bbox
+
+
+def _bbox_gap2(bb, other):
+    """Squared box-box gap: bb (B, 4) vs other (M, 4) -> (B, M)."""
+    gx = jnp.maximum(0.0, jnp.maximum(bb[:, 0:1] - other[None, :, 1],
+                                      other[None, :, 0] - bb[:, 1:2]))
+    gy = jnp.maximum(0.0, jnp.maximum(bb[:, 2:3] - other[None, :, 3],
+                                      other[None, :, 2] - bb[:, 3:4]))
+    return gx * gx + gy * gy
+
+
+def _cross_shard_rescue(spos, smass, salive, soft2, a, *, band, k,
+                        export_cap, chunk, axis, n_shards):
+    """Short-range rescue for block pairs on DIFFERENT shards.
+
+    The shard-local :func:`tpu_nbody.ops.mesh._block_rescue` recovers pairs
+    split by Hilbert-curve discontinuities *within* a shard's curve segment;
+    pairs whose blocks land on two different shards (a discontinuity
+    straddling a domain boundary — exactly the class round 2 measured as
+    the dominant single-chip error tail) were documented-dropped in round 2.
+    This pass closes that gap with a locally-essential export exchange, the
+    same shape as the sharded-BH LET export (``parallel/sharded_bh.py``):
+
+    1. ``all_gather`` every shard's tiny (B, 4) block-bbox table.
+    2. Each shard selects up to ``export_cap`` of its own blocks that some
+       REMOTE block needs (box gap < 2a and >1 apart in GLOBAL block order
+       — global adjacency is already covered exactly by the band's ring
+       halo) and ``all_gather``s those block rows (export_cap x band
+       bodies — small, because only domain-boundary-adjacent blocks ever
+       qualify under a Hilbert decomposition).
+    3. Each local block picks its k closest imported remote partner blocks
+       (same closest-first ``top_k`` ranking as the local rescue) and sums
+       the switch-weighted pair forces densely.
+
+    Returns (acc_sorted (cap, 2), export_need, import_need): coverage is
+    exact up to the 2a cutoff iff export_need <= export_cap and
+    import_need <= k on every shard.
+    """
+    cap = spos.shape[0]
+    S = band
+    dtype = spos.dtype
+    X, bbox = _block_bboxes(spos, smass, salive, band)
+    B = X.shape[0]
+    rcut2 = (2.0 * a) * (2.0 * a)
+    me = jax.lax.axis_index(axis)
+    gid = me * B + jnp.arange(B)                             # global block id
+
+    bbox_all = jax.lax.all_gather(bbox, axis)                # (P, B, 4)
+    gid_all = jnp.arange(n_shards * B)
+    remote = (gid_all // B) != me
+    g2_all = _bbox_gap2(bbox, bbox_all.reshape(n_shards * B, 4))
+    nonadj = jnp.abs(gid[:, None] - gid_all[None, :]) > 1
+    need = (g2_all < rcut2) & nonadj & remote[None, :]       # (B, P*B)
+
+    # ---- export: my blocks some remote block needs (symmetric test) ----
+    exp_score = jnp.max(jnp.where(need, rcut2 - g2_all, 0.0), axis=1)
+    export_need = jnp.sum(exp_score > 0)
+    E = min(export_cap, B)
+    val, eidx = jax.lax.top_k(exp_score, E)                  # (E,)
+    evalid = val > 0
+    erows = X.reshape(B, S * 3)[eidx] * evalid[:, None].astype(dtype)
+    ebbox = jnp.where(evalid[:, None], bbox[eidx],
+                      jnp.asarray([jnp.finfo(dtype).max,
+                                   -jnp.finfo(dtype).max,
+                                   jnp.finfo(dtype).max,
+                                   -jnp.finfo(dtype).max], dtype))
+    egid = jnp.where(evalid, gid[eidx], -10)                 # -10: never adj
+
+    imp_rows = jax.lax.all_gather(erows, axis).reshape(n_shards * E, S * 3)
+    imp_bbox = jax.lax.all_gather(ebbox, axis).reshape(n_shards * E, 4)
+    imp_gid = jax.lax.all_gather(egid, axis).reshape(n_shards * E)
+    imp_shard = jnp.repeat(jnp.arange(n_shards), E)
+
+    # ---- import: k closest exported remote blocks per local block ----
+    g2_imp = _bbox_gap2(bbox, imp_bbox)                      # (B, P*E)
+    cand = ((g2_imp < rcut2) & (imp_shard[None, :] != me)
+            & (jnp.abs(gid[:, None] - imp_gid[None, :]) > 1)
+            & (imp_gid[None, :] >= 0))
+    import_need = jnp.max(jnp.sum(cand, axis=1))
+    kk = min(k, n_shards * E)
+    score = jnp.where(cand, rcut2 - g2_imp, 0.0)
+
+    cb = max(1, min(B, chunk // S))
+    n_chunks = -(-B // cb)
+    Xb = jnp.concatenate([X.reshape(B, S * 3),
+                          jnp.zeros((n_chunks * cb - B, S * 3), dtype)])
+    score_p = jnp.concatenate(
+        [score, jnp.zeros((n_chunks * cb - B, score.shape[1]), dtype)])
+    starts = jnp.arange(n_chunks) * cb
+
+    def one_chunk(b0):
+        sc = jax.lax.dynamic_slice(score_p, (b0, 0), (cb, score.shape[1]))
+        mval, midx = jax.lax.top_k(sc, kk)                   # (cb, kk)
+        mval = (mval > 0).astype(dtype)
+        part = imp_rows[midx].reshape(cb, kk, S, 3)
+        pm = (part[..., 2] * mval[:, :, None]).reshape(cb, kk * S)
+        px = part[..., 0].reshape(cb, kk * S)
+        py = part[..., 1].reshape(cb, kk * S)
+        ctr = jax.lax.dynamic_slice(Xb, (b0, 0), (cb, S * 3)) \
+            .reshape(cb, S, 3)
+        dx = px[:, None, :] - ctr[:, :, None, 0]             # (cb, S, kk*S)
+        dy = py[:, None, :] - ctr[:, :, None, 1]
+        r2 = dx * dx + dy * dy
+        w = pm[:, None, :] * jax.lax.rsqrt(r2 + soft2) / (r2 + soft2)
+        w = w * jnp.exp(-((r2 / (a * a)) ** 2))
+        return jnp.stack([jnp.sum(w * dx, axis=2),
+                          jnp.sum(w * dy, axis=2)], axis=-1)
+
+    acc = jax.lax.map(one_chunk, starts)
+    return (acc.reshape(n_chunks * cb * S, 2)[:cap],
+            export_need.astype(jnp.int32), import_need.astype(jnp.int32))
+
+
 def _pm_accel_local(pos, mass, alive, G, soft2, origin, root_side, *,
                     mesh_level, split_cells, band, chunk, rescue_k,
-                    axis, n_shards, kernel=None):
+                    axis, n_shards, xrescue_k=0, xrescue_export=0,
+                    kernel=None):
     """P3M acceleration for the local body shard (inside shard_map)."""
     dtype = pos.dtype
     origin = jnp.asarray(origin, dtype)
@@ -160,19 +313,28 @@ def _pm_accel_local(pos, mass, alive, G, soft2, origin, root_side, *,
     ext = jnp.concatenate([halo_left, fields, halo_right])
     acc_short = mesh_ops._band_short_range(
         ext[:, :2], ext[:, 2], soft2, a, band=S, chunk=chunk)[S:S + pos.shape[0]]
+    rescue_need = jnp.int32(0)
+    xport_need = jnp.int32(0)
+    ximp_need = jnp.int32(0)
     if rescue_k:
         # Shard-local block rescue (ops/mesh.py::_block_rescue): recovers
         # short-range pairs split by Hilbert discontinuities WITHIN this
-        # shard's curve segment. Documented deviation from single-chip:
-        # discontinuity pairs spanning two shards are not rescued (the
-        # ring halo only covers curve-adjacent slots); their weight decays
-        # like the band-miss tail the halo already bounds.
-        acc_r, _ = mesh_ops._block_rescue(spos, smass, salive, soft2, a,
-                                          band=band, k=rescue_k, chunk=chunk)
+        # shard's curve segment.
+        acc_r, rescue_need = mesh_ops._block_rescue(
+            spos, smass, salive, soft2, a, band=band, k=rescue_k,
+            chunk=chunk)
         acc_short = acc_short + acc_r
+    if xrescue_k and n_shards > 1:
+        # Cross-shard rescue: discontinuity pairs whose blocks live on two
+        # different shards (see _cross_shard_rescue).
+        acc_x, xport_need, ximp_need = _cross_shard_rescue(
+            spos, smass, salive, soft2, a, band=band, k=xrescue_k,
+            export_cap=xrescue_export, chunk=chunk, axis=axis,
+            n_shards=n_shards)
+        acc_short = acc_short + acc_x
 
     acc = (acc_mesh + acc_short) * salive[:, None].astype(dtype)
-    return (G * acc)[unsort]
+    return (G * acc)[unsort], (rescue_need, xport_need, ximp_need)
 
 
 def reshard_by_hilbert(state: SimState, mesh: Mesh, cfg: SimConfig,
@@ -201,9 +363,16 @@ def reshard_by_hilbert(state: SimState, mesh: Mesh, cfg: SimConfig,
 
 def make_sharded_pm_step(mesh: Mesh, cfg: SimConfig, *,
                          integrator: str = "kdk",
-                         heavy_cap_local: int = 16, axis: str = BODY_AXIS):
-    """Jitted multi-chip P3M step(state, params, n_steps) on ``mesh``."""
+                         heavy_cap_local: int = 16, axis: str = BODY_AXIS,
+                         xrescue_export: int | None = None):
+    """Jitted multi-chip P3M step(state, params, n_steps) on ``mesh``.
+
+    ``xrescue_export`` overrides ``cfg.mesh_xrescue_export`` (the engine
+    auto-grows it on ``xport_need`` overflow, like the heavy cap).
+    """
     n_shards = mesh.shape[axis]
+    if xrescue_export is None:
+        xrescue_export = cfg.mesh_xrescue_export
     ox, oy = cfg.root_center
     origin = (ox - cfg.root_half, oy - cfg.root_half)
     side = 2.0 * cfg.root_half
@@ -215,24 +384,31 @@ def make_sharded_pm_step(mesh: Mesh, cfg: SimConfig, *,
             split_cells=cfg.mesh_split, band=cfg.mesh_band,
             chunk=min(cfg.mesh_chunk, cfg.capacity // n_shards),
             rescue_k=cfg.mesh_rescue, axis=axis, n_shards=n_shards,
-            kernel=kernel)
+            xrescue_k=cfg.mesh_xrescue,
+            xrescue_export=xrescue_export, kernel=kernel)
 
     def local_step(state: SimState, params: Params, kernel):
-        a = accel(state.pos, state.mass, state.alive, params, kernel)
+        a, r1 = accel(state.pos, state.mass, state.alive, params, kernel)
         half = params.dt * 0.5
         if integrator == "kdk":
             vel = state.vel + a * half
             pos = state.pos + vel * params.dt
-            a2 = accel(pos, state.mass, state.alive, params, kernel)
+            a2, r2 = accel(pos, state.mass, state.alive, params, kernel)
             vel = vel + a2 * half
+            rsc = jax.tree.map(jnp.maximum, r1, r2)
         elif integrator == "euler":
             vel = state.vel + a * params.dt
             pos = state.pos + vel * params.dt
+            rsc = r1
         else:
             raise ValueError(integrator)
         state = state._replace(pos=pos, vel=vel, step=state.step + 1)
-        return _merge_sharded(state, params, axis=axis, n_shards=n_shards,
-                              heavy_cap_local=heavy_cap_local)
+        state, heavy = _merge_sharded(state, params, axis=axis,
+                                      n_shards=n_shards,
+                                      heavy_cap_local=heavy_cap_local)
+        # pmax so the replicated out_spec is honest (heavy already is).
+        rsc = tuple(jax.lax.pmax(v, axis) for v in rsc)
+        return state, PmShardStats(heavy, *rsc)
 
     sharded = P(axis)
     sharded2 = P(axis, None)
@@ -240,34 +416,36 @@ def make_sharded_pm_step(mesh: Mesh, cfg: SimConfig, *,
                            alive=sharded, step=P())
     param_specs = jax.tree.map(lambda _: P(), Params.default())
 
+    stat_specs = PmShardStats(P(), P(), P(), P())
+
     def one(state, params, kernel):
         return jax.shard_map(
             local_step, mesh=mesh,
             in_specs=(state_specs, param_specs, (P(), P(), P())),
-            out_specs=(state_specs, P()),
+            out_specs=(state_specs, stat_specs),
             check_vma=False,
         )(state, params, kernel)
 
     @functools.partial(jax.jit, static_argnames=("n_steps",))
     def step_n(state: SimState, params: Params, n_steps: int = 1):
-        """Returns (state, heavy_need) — max over the executed steps."""
+        """Returns (state, PmShardStats) — max over the executed steps."""
         # Long-range kernel FFTs hoisted out of the step loop (they depend
         # only on static config + soft2); inside the scan they are loop
         # constants, replicated across shards.
         kernel = mesh_ops.kernel_hats_for(
             side, params.soft2, mesh_level=cfg.mesh_level,
             split_cells=cfg.mesh_split, dtype=cfg.jdtype)
-        state, heavy = one(state, params, kernel)
+        state, stats = one(state, params, kernel)
         if n_steps == 1:
-            return state, heavy
+            return state, stats
 
         def body(carry, _):
-            s, h = carry
-            s, h2 = one(s, params, kernel)
-            return (s, jnp.maximum(h, h2)), None
+            s, st = carry
+            s, st2 = one(s, params, kernel)
+            return (s, jax.tree.map(jnp.maximum, st, st2)), None
 
-        (state, heavy), _ = jax.lax.scan(body, (state, heavy), None,
+        (state, stats), _ = jax.lax.scan(body, (state, stats), None,
                                          length=n_steps - 1)
-        return state, heavy
+        return state, stats
 
     return step_n
