@@ -63,6 +63,11 @@ def main():
             mesh_level=10 if args.small else 12,
             mesh_split=4.0 if args.small else 6.0,
             mesh_band=256 if args.small else 512,
+            # flat rescue k: two-tier (mesh_rescue_hot) measured a NET
+            # accuracy loss at N=1M — 1917 of 2048 blocks need > 4 partners
+            # (the two-disk core is not skew-distributed at band 512), so
+            # the hot tier's cap can't cover them and closest-first flat
+            # k=12 at ~89 Gpairs/s is already pair-math speed-of-light
             mesh_rescue=4 if args.small else 12,
             mesh_chunk=min(16384, cap),
         )

@@ -223,3 +223,62 @@ def test_pm_rescue_need_surfaced():
     eng.reset_default_scene(n1=600, n2=200)
     eng.step(1)
     assert eng.last_rescue_need >= 0  # plumbed through (int, not None)
+
+
+def test_deposit_run_compress_matches_plain(rng):
+    """Run-compressed deposit (segmented run sums + conflict-free scatter)
+    must equal the plain per-body scatter up to per-cell summation order —
+    clustered Hilbert-sorted bodies AND an adversarial unsorted order
+    (runs degenerate to length 1)."""
+    nw, grid = 64, 128
+    n = 4000
+    lrng = np.random.default_rng(11)
+    # half clustered into few cells, half spread out
+    pos = np.concatenate([
+        lrng.random((n // 2, 2)).astype(np.float32) * 3.0 + 20.0,
+        lrng.random((n // 2, 2)).astype(np.float32) * 60.0])
+    mass = lrng.random(n).astype(np.float32) + 0.5
+    codes = np.asarray(mesh.morton.hilbert_codes(
+        jnp.asarray(pos), jnp.zeros((2,), jnp.float32), jnp.float32(64.0),
+        jnp.ones((n,), bool)))
+    for order in (np.argsort(codes), np.arange(n)):  # sorted + unsorted
+        p, m = jnp.asarray(pos[order]), jnp.asarray(mass[order])
+        base, w = mesh._cic_cells(p, jnp.zeros((2,), jnp.float32),
+                                  jnp.float32(1.0), nw, 2)
+        rho_p = mesh._deposit_packed(m, base, w, nw, grid, run_compress=False)
+        for mode in (True, 4, 8):  # full-run scan + window-4/8 dense
+            rho_c = mesh._deposit_packed(m, base, w, nw, grid,
+                                         run_compress=mode)
+            np.testing.assert_allclose(np.asarray(rho_c), np.asarray(rho_p),
+                                       rtol=1e-5, atol=1e-4)
+            np.testing.assert_allclose(float(rho_c.sum()), float(m.sum()),
+                                       rtol=1e-6)  # no mass lost to the dump
+
+
+def test_two_tier_rescue_matches_single_tier():
+    """Two-tier rescue (base k + hot blocks at k_hot) must equal single-tier
+    k=k_hot exactly when hot_cap covers every hot block: the tiers partition
+    the same closest-first top-k_hot ranking."""
+    lrng = np.random.default_rng(21)
+    cap, n = 2048, 1900
+    # clustered scene around the world-center cross: plenty of blocks that
+    # need more than the base k partners
+    pos = np.zeros((cap, 2), np.float32)
+    pos[:n // 2] = lrng.random((n // 2, 2)).astype(np.float32) * [2400, 800]
+    pos[n // 2:n] = (1200.0 + lrng.standard_normal((n - n // 2, 2)) * 12.0)
+    mass = np.zeros(cap, np.float32)
+    mass[:n] = 1.0
+    alive = jnp.asarray(np.arange(cap) < n)
+    spos, smass, salive, _ = mesh._hilbert_sort(
+        jnp.asarray(pos), jnp.asarray(mass), alive,
+        jnp.zeros((2,), jnp.float32), jnp.float32(2404.0))
+    a = jnp.float32(4.0 * 2404.0 / 512.0)
+    kw = dict(band=32, chunk=256)
+    acc1, need1, hot1 = mesh._block_rescue(
+        spos, smass, salive, 1.0, a, k=12, **kw)
+    acc2, need2, hot2 = mesh._block_rescue(
+        spos, smass, salive, 1.0, a, k=4, k_hot=12, hot_cap=64, **kw)
+    assert int(hot2) > 0 and int(hot2) <= 64  # the case exercises the tier
+    np.testing.assert_array_equal(np.asarray(need1), np.asarray(need2))
+    np.testing.assert_allclose(np.asarray(acc2), np.asarray(acc1),
+                               rtol=1e-5, atol=1e-6)

@@ -29,6 +29,7 @@ def main():
                     default="12:4:256,12:5:384,12:6:512,11:6:384,11:8:512")
     ap.add_argument("--interlace", action="store_true")
     ap.add_argument("--rescue", type=int, default=0)
+    ap.add_argument("--rescue-hot", type=int, default=0)
     args = ap.parse_args()
 
     n = args.n
@@ -60,7 +61,8 @@ def main():
         acc = np.asarray(mesh_ops.pm_accel(
             pos, mass, alive, G, jnp.float32(soft2), origin, side,
             mesh_level=lvl, split_cells=split, band=band, chunk=16384,
-            interlace=args.interlace, rescue_k=args.rescue))
+            interlace=args.interlace, rescue_k=args.rescue,
+            rescue_k_hot=args.rescue_hot))
         rel = (np.linalg.norm(acc - ref, axis=-1) / (refn + 1e-9))[sel]
         print(f"{spec:>18s} {rel.mean():10.2e} {np.median(rel):10.2e} "
               f"{np.percentile(rel, 99):10.2e}", flush=True)

@@ -99,37 +99,26 @@ def main():
                                 leaf_size=cfg.leaf_size,
                                 max_depth=cfg.max_depth)
         t = jax.block_until_ready(t)
-        theta2 = args.theta * args.theta
-        soft2 = float(params.soft2)
         GS = caps.group_size
 
-        @jax.jit
-        def ph_groups(s):
-            gvalid, gstart, gcount, ng = traverse.make_groups(
-                t, GS, caps.group_cap)
-            return gstart[0].astype(jnp.float32) + ng + s * 1e-9
+        def staged(stage):
+            # cumulative stage probes on the FIXED tree, salted via theta
+            def fn(s):
+                out, _ = traverse.bh_accel_from_tree(
+                    t, args.theta + s * 1e-9, float(params.soft2),
+                    float(params.G), group_size=GS,
+                    group_cap=caps.group_cap, max_depth=cfg.max_depth,
+                    frontier_cap=caps.frontier_cap,
+                    approx_cap=caps.approx_cap,
+                    leaf_list_cap=caps.leaf_list_cap,
+                    direct_body_cap=caps.direct_body_cap,
+                    group_chunk=cfg.group_chunk, traversal=args.traversal,
+                    debug_stage=stage)
+                return jnp.ravel(out)[0].astype(jnp.float32) + s
+            return jax.jit(fn)
 
-        @jax.jit
-        def ph_classify(s):
-            gvalid, gstart, gcount, ng = traverse.make_groups(
-                t, GS, caps.group_cap)
-            sl0 = jnp.clip(gstart, 0, cfg.capacity - GS)
-            gmin = t.spos[sl0]
-            gmax = gmin + 1.0
-            apx, al, lv, ll, a_tot, l_tot = traverse._classify_dense(
-                t, gmin, gmax, gvalid, theta2 + s * 1e-9, soft2,
-                approx_cap=caps.approx_cap, leaf_list_cap=caps.leaf_list_cap)
-            return (apx[0, 0] + jnp.sum(al) + lv[0, 0]).astype(jnp.float32) + s
-
-        @jax.jit
-        def ph_force(s):
-            acc, _ = accel(pos, mass, alive,
-                           params._replace(soft2=params.soft2 + s * 1e-9))
-            return acc[0, 0] + s
-
-        chained_time(ph_groups, args.iters, "make_groups")
-        chained_time(ph_classify, args.iters, "groups + classify")
-        chained_time(ph_force, args.iters, "full pass (salted soft2)")
+        for stage in ("aabb", "classify", "force", "full"):
+            chained_time(staged(stage), args.iters, f"cum:{stage}")
 
     t_full = chained_time(ph_full, args.iters, "build + traverse + force")
     print(f"# force pass (full - build overlap bound): {t_full:.1f} ms; "

@@ -88,11 +88,16 @@ def main():
                                                 origin, side)
         return sp[0, 0] + sm[0] + us[0] + s
 
-    @jax.jit
-    def ph_deposit(s):
-        base, w = mesh_ops._cic_cells(spos + s * 1e-6, origin, h, nw, 2)
-        rho = mesh_ops._deposit_packed(smass, base, w, nw, grid)
-        return rho[0, 0] + jnp.sum(rho[0, :8]) + s
+    def make_deposit(run_compress):
+        @jax.jit
+        def ph(s):
+            base, w = mesh_ops._cic_cells(spos + s * 1e-6, origin, h, nw, 2)
+            rho = mesh_ops._deposit_packed(smass, base, w, nw, grid,
+                                           run_compress=run_compress)
+            return rho[0, 0] + jnp.sum(rho[0, :8]) + s
+        return ph
+
+    ph_deposit = make_deposit(False)
 
     @jax.jit
     def _fft(rho0, kern, s):
@@ -130,14 +135,18 @@ def main():
                                          chunk=cfg.mesh_chunk)
         return acc[0, 0] + s
 
-    @jax.jit
-    def ph_rescue(s):
-        sp = spos + s * 1e-6
-        acc2, need = mesh_ops._block_rescue(sp, smass, salive,
-                                            jnp.float32(1.0), a,
-                                            band=cfg.mesh_band, k=4,
-                                            chunk=cfg.mesh_chunk)
-        return acc2[0, 0] + need.astype(jnp.float32) * 1e-9 + s
+    def make_rescue(k, k_hot=0):
+        @jax.jit
+        def ph(s):
+            sp = spos + s * 1e-6
+            acc2, need, hot = mesh_ops._block_rescue(
+                sp, smass, salive, jnp.float32(1.0), a, band=cfg.mesh_band,
+                k=k, k_hot=k_hot, chunk=cfg.mesh_chunk)
+            return (acc2[0, 0] + need.astype(jnp.float32) * 1e-9
+                    + hot.astype(jnp.float32) * 1e-9 + s)
+        return ph
+
+    ph_rescue = make_rescue(4)
 
     @jax.jit
     def _unsort(fg0, s):
@@ -172,7 +181,11 @@ def main():
 
     total = 0.0
     total += chained_time(ph_sort, args.iters, "sort")
-    total += chained_time(ph_deposit, args.iters, "deposit(packed)")
+    total += chained_time(ph_deposit, args.iters, "deposit(plain)")
+    chained_time(make_deposit(4), args.iters, "deposit(win4)")
+    chained_time(make_deposit(8), args.iters, "deposit(win8)")
+    chained_time(make_deposit(16), args.iters, "deposit(win16)")
+    chained_time(make_rescue(12), args.iters, "rescue k=12")
     total += chained_time(ph_fft, args.iters, "fft(1r+1ir)")
     total += chained_time(ph_interp, args.iters, "interp(packed)")
     total += chained_time(ph_band, args.iters, "band short-range")

@@ -88,6 +88,11 @@ class SimConfig:
     mesh_order: int = 2            # mass assignment: 2 = CIC, 1 = NGP (faster,
                                    # ~20x noisier mesh force — see ops/mesh.py)
     mesh_rescue: int = 4           # rescue partner blocks per band block
+    mesh_rescue_hot: int = 0       # two-tier rescue: total partner blocks
+                                   # for HOT blocks (need > mesh_rescue);
+                                   # 0 = single-tier (every block gets
+                                   # mesh_rescue partners)
+    mesh_rescue_hot_cap: int = 128  # max hot blocks per pass (static)
                                    # (0 = off); exact recovery of short-range
                                    # pairs split by Hilbert curve
                                    # discontinuities — see ops/mesh.py

@@ -184,6 +184,8 @@ def make_pm_accel(cfg: SimConfig):
             mesh_level=cfg.mesh_level, split_cells=cfg.mesh_split,
             band=cfg.mesh_band, chunk=min(cfg.mesh_chunk, cfg.capacity),
             order=cfg.mesh_order, rescue_k=cfg.mesh_rescue,
+            rescue_k_hot=cfg.mesh_rescue_hot,
+            rescue_hot_cap=cfg.mesh_rescue_hot_cap,
             return_stats=True, kernel=kernel)
         return acc, st
 
@@ -212,10 +214,11 @@ _INTEGRATORS = {
 
 def _split_aux(st):
     """Normalize an accel aux (TraversalStats | pm stats dict | None) into
-    the step stats fields (trav, rescue_need)."""
+    the step stats fields (trav, rescue_need, rescue_hot)."""
     if isinstance(st, dict):
-        return None, st.get("rescue_need", jnp.int32(0))
-    return st, jnp.int32(0)
+        return (None, st.get("rescue_need", jnp.int32(0)),
+                st.get("rescue_hot", jnp.int32(0)))
+    return st, jnp.int32(0), jnp.int32(0)
 
 
 def _make_pm_sorted_step(cfg: SimConfig, merge_heavy_cap: int) -> Callable:
@@ -245,7 +248,8 @@ def _make_pm_sorted_step(cfg: SimConfig, merge_heavy_cap: int) -> Callable:
             pos, mass, alive, params.G, params.soft2, origin, side,
             mesh_level=cfg.mesh_level, split_cells=cfg.mesh_split,
             band=cfg.mesh_band, chunk=chunk, order=cfg.mesh_order,
-            rescue_k=cfg.mesh_rescue, kernel=kernel)
+            rescue_k=cfg.mesh_rescue, rescue_k_hot=cfg.mesh_rescue_hot,
+            rescue_hot_cap=cfg.mesh_rescue_hot_cap, kernel=kernel)
 
     def permute(state, o):
         return state._replace(pos=state.pos[o], vel=state.vel[o],
@@ -269,12 +273,12 @@ def _make_pm_sorted_step(cfg: SimConfig, merge_heavy_cap: int) -> Callable:
     @functools.partial(jax.jit, static_argnames=("n_steps",))
     def loop_fn(state, perm, acc, need0, kernel, params, n_steps: int):
         def one(carry, i):
-            state, acc, perm, heavy_max, resc_max = carry
+            state, acc, perm, heavy_max, resc_max, hot_max = carry
             half = params.dt * 0.5
             vel = state.vel + acc * half
             pos = state.pos + vel * params.dt
-            a2, need = accel_sorted(pos, state.mass, state.alive, params,
-                                    kernel)
+            a2, (need, hot) = accel_sorted(pos, state.mass, state.alive,
+                                           params, kernel)
             vel = vel + a2 * half
             state = state._replace(pos=pos, vel=vel, step=state.step + 1)
             state, heavy = merge_bodies(state, params,
@@ -288,14 +292,15 @@ def _make_pm_sorted_step(cfg: SimConfig, merge_heavy_cap: int) -> Callable:
                 (i + 1) % K == 0, resort, lambda st, a, p: (st, a, p),
                 state, a2, perm)
             return (state, a2, perm, jnp.maximum(heavy_max, heavy),
-                    jnp.maximum(resc_max, need)), None
+                    jnp.maximum(resc_max, need),
+                    jnp.maximum(hot_max, hot)), None
 
-        init = (state, acc, perm, jnp.int32(0), need0)
-        (state, acc, perm, heavy, resc), _ = jax.lax.scan(
+        init = (state, acc, perm, jnp.int32(0)) + need0
+        (state, acc, perm, heavy, resc, hot), _ = jax.lax.scan(
             one, init, jnp.arange(n_steps))
         state = permute(state, jnp.argsort(perm))
         return state, {"trav": None, "heavy_need": heavy,
-                       "rescue_need": resc}
+                       "rescue_need": resc, "rescue_hot": hot}
 
     def step_n(state: SimState, params: Params, n_steps: int = 1):
         state, perm, acc0, need0, kernel = seed_fn(state, params)
@@ -372,12 +377,12 @@ def make_step_fn(cfg: SimConfig, caps: Caps, solver: str, integrator: str,
         def one_step(state, params):
             del stats_holder[:]
             state = int_step(state, params, accel)
-            trav, resc = _split_aux(
+            trav, resc, hot = _split_aux(
                 functools.reduce(max_stats, stats_holder, None))
             state, heavy = merge_bodies(state, params,
                                         heavy_cap=merge_heavy_cap)
             return state, {"trav": trav, "heavy_need": heavy,
-                           "rescue_need": resc}
+                           "rescue_need": resc, "rescue_hot": hot}
 
         @functools.partial(jax.jit, static_argnames=("n_steps",))
         def step_n(state: SimState, params: Params, n_steps: int = 1):
@@ -401,12 +406,12 @@ def make_step_fn(cfg: SimConfig, caps: Caps, solver: str, integrator: str,
         def one_step(state, acc, params):
             del stats_holder[:]
             state, acc = integrate.kdk_reuse_step(state, acc, params, accel)
-            trav, resc = _split_aux(
+            trav, resc, hot = _split_aux(
                 functools.reduce(max_stats, stats_holder, None))
             state, heavy = merge_bodies(state, params,
                                         heavy_cap=merge_heavy_cap)
             return state, acc, {"trav": trav, "heavy_need": heavy,
-                                "rescue_need": resc}
+                                "rescue_need": resc, "rescue_hot": hot}
 
         # The seed force pass runs in its OWN executable: at large N two
         # traversal instances in one XLA program crash this backend's TPU
@@ -421,10 +426,10 @@ def make_step_fn(cfg: SimConfig, caps: Caps, solver: str, integrator: str,
             aux_cell[0] = aux
             del stats_holder[:]
             acc0 = accel(state.pos, state.mass, state.alive, params)
-            trav, resc = _split_aux(
+            trav, resc, hot = _split_aux(
                 functools.reduce(max_stats, stats_holder, None))
             seed_st = {"trav": trav, "heavy_need": jnp.int32(0),
-                       "rescue_need": resc}
+                       "rescue_need": resc, "rescue_hot": hot}
             return acc0, seed_st, aux
 
         @functools.partial(jax.jit, static_argnames=("n_steps",))
@@ -481,6 +486,9 @@ class Engine:
         # k=24 accuracy (PERFORMANCE.md), so the engine deliberately does
         # NOT auto-grow this cap.
         self.last_rescue_need: int = 0
+        # Hot blocks (need > mesh_rescue) seen by the two-tier rescue; must
+        # stay <= cfg.mesh_rescue_hot_cap for top-k_hot coverage.
+        self.last_rescue_hot: int = 0
         self._step_fn = None
 
     # ------------------------------------------------------------ stepping
@@ -498,6 +506,7 @@ class Engine:
         self.last_stats = stats["trav"]
         self.last_heavy_need = int(stats["heavy_need"])
         self.last_rescue_need = int(stats.get("rescue_need", 0))
+        self.last_rescue_hot = int(stats.get("rescue_hot", 0))
         return stats
 
     def _overflowed(self, stats) -> bool:

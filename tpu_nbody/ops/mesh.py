@@ -165,7 +165,7 @@ def _band_short_range(spos, smass, soft2, a, *, band: int, chunk: int):
 
 
 def _block_rescue(spos, smass, salive, soft2, a, *, band: int, k: int,
-                  chunk: int):
+                  chunk: int, k_hot: int = 0, hot_cap: int = 128):
     """Exact short-range rescue for pairs >1 block apart in sorted order.
 
     The tri-diagonal band covers every pair within one ``band``-block in
@@ -183,13 +183,25 @@ def _block_rescue(spos, smass, salive, soft2, a, *, band: int, k: int,
 
     Coverage is exact up to the cutoff (the switch weight at r = 2a is
     exp(-16) ~ 1e-7) PROVIDED no block needs more than ``k`` partners;
-    returns (acc_sorted (cap, 2), need) where ``need`` is the max partner
-    count any block wanted. The engine surfaces it as
+    returns (acc_sorted (cap, 2), need, hot_count) where ``need`` is the max
+    partner count any block wanted. The engine surfaces it as
     ``Engine.last_rescue_need`` but deliberately does NOT auto-grow ``k``:
     partners are ranked closest-box-first, so overflow drops only the
     farthest boxes, whose pair weights are the smallest (measured at N=1M
     the dense core wants up to 97 partners while k=12 already matches k=24
     accuracy — PERFORMANCE.md).
+
+    TWO-TIER mode (``k_hot > k``): the partner-count distribution is
+    extremely skewed — at the N=1M bench scene the median block wants 0-2
+    partners while the dense core wants up to ~97, so paying ``k=12`` pair
+    blocks for EVERY block is ~3x wasted pair math. With ``k_hot`` set, all
+    blocks run the cheap base tier ``k``, then the (at most ``hot_cap``)
+    blocks whose exact need exceeds ``k`` run a second pass over partner
+    ranks ``k..k_hot-1`` from the SAME closest-first ranking (identical
+    score array, so the tiers partition the top-``k_hot`` exactly — no
+    double counting). ``hot_count`` reports how many blocks were hot;
+    coverage requires ``hot_count <= hot_cap`` (overflowing hot blocks
+    silently stay at the base tier).
     """
     cap = spos.shape[0]
     S = band
@@ -252,10 +264,55 @@ def _block_rescue(spos, smass, salive, soft2, a, *, band: int, k: int,
         w = w * jnp.exp(-((r2 / (a * a)) ** 2))
         acc = jnp.stack([jnp.sum(w * dx, axis=2),
                          jnp.sum(w * dy, axis=2)], axis=-1)  # (cb, S, 2)
-        return acc, jnp.max(cnt)
+        return acc, cnt
 
-    acc, need = jax.lax.map(one_chunk, starts)
-    return acc.reshape(n_chunks * cb * S, 2)[:cap], jnp.max(need)
+    acc, cnt_c = jax.lax.map(one_chunk, starts)
+    acc = acc.reshape(n_chunks * cb * S, 2)
+    cnt_all = cnt_c.reshape(n_chunks * cb)[:B]                # exact needs
+    need = jnp.max(cnt_all)
+    hot_count = jnp.sum(cnt_all > k)
+
+    if k_hot > k:
+        H = min(hot_cap, B)
+        kh = min(k_hot, B)
+        hot = cnt_all > k
+        hrank = jnp.cumsum(hot.astype(jnp.int32))             # 1-indexed
+        hid = jnp.clip(jnp.searchsorted(
+            hrank, jnp.arange(1, H + 1, dtype=jnp.int32), side="left"),
+            0, B - 1).astype(jnp.int32)
+        hvalid = jnp.arange(H) < jnp.minimum(hot_count, H)
+        bb = bbox[hid]                                        # (H, 4)
+        gx = jnp.maximum(0.0, jnp.maximum(bb[:, 0:1] - bmaxx[None, :],
+                                          bminx[None, :] - bb[:, 1:2]))
+        gy = jnp.maximum(0.0, jnp.maximum(bb[:, 2:3] - bmaxy[None, :],
+                                          bminy[None, :] - bb[:, 3:4]))
+        g2 = gx * gx + gy * gy
+        dblk = jnp.abs(hid[:, None] - idx_all[None, :])
+        mask = (g2 < rcut2) & (dblk > 1)
+        score = jnp.where(mask, rcut2 - g2, 0.0)
+        mval, midx = jax.lax.top_k(score, kh)                 # (H, kh)
+        mval2 = mval[:, k:]                                   # ranks k..kh-1
+        midx2 = midx[:, k:]
+        k2 = kh - k
+        pmask = ((mval2 > 0) & hvalid[:, None]).astype(dtype)
+        part = Xb[midx2].reshape(H, k2, S, 3)
+        pm = (part[..., 2] * pmask[:, :, None]).reshape(H, k2 * S)
+        px = part[..., 0].reshape(H, k2 * S)
+        py = part[..., 1].reshape(H, k2 * S)
+        ctr = Xb[hid].reshape(H, S, 3)
+        dx = px[:, None, :] - ctr[:, :, None, 0]              # (H, S, k2*S)
+        dy = py[:, None, :] - ctr[:, :, None, 1]
+        r2 = dx * dx + dy * dy
+        w = pm[:, None, :] * jax.lax.rsqrt(r2 + soft2) / (r2 + soft2)
+        w = w * jnp.exp(-((r2 / (a * a)) ** 2))
+        acc2 = jnp.stack([jnp.sum(w * dx, axis=2),
+                          jnp.sum(w * dy, axis=2)], axis=-1)  # (H, S, 2)
+        rows = (hid[:, None] * S
+                + jnp.arange(S, dtype=jnp.int32)[None, :]).reshape(-1)
+        acc = acc.at[rows].add(
+            jnp.where(hvalid[:, None, None], acc2, 0.0).reshape(-1, 2))
+
+    return acc[:cap], need, hot_count
 
 
 def _cic_cells(spos, origin, h, nw, order):
@@ -285,7 +342,29 @@ def _cic_cells(spos, origin, h, nw, order):
     return by * nw + bx, w4
 
 
-def _deposit_packed(smass, base, w, nw, grid):
+def _seg_suffix_sum(vals, last_of_run):
+    """Per-element suffix sum within runs: t_i = v_i + (last_i ? 0 : t_%i+1).
+
+    Segmented +-scan as one ``associative_scan`` over (flag, value) pairs —
+    the classic segmented-scan operator, run in reverse so every run's
+    TOTAL lands on its FIRST element. ``vals`` is (..., n) (scan along the
+    last axis), ``last_of_run`` (n,) bool. Within-run partial sums only, so
+    no global-cumsum precision loss (unlike prefix-difference schemes).
+    """
+    def combine(a, b):
+        # b = element nearer the scan start (lower index in reverse mode),
+        # a = accumulated suffix; a run-end flag on b blocks a's carry.
+        af, av = a
+        bf, bv = b
+        return af | bf, bv + jnp.where(bf, jnp.zeros_like(av), av)
+
+    flags = jnp.broadcast_to(last_of_run, vals.shape)
+    _, t = jax.lax.associative_scan(combine, (flags, vals),
+                                    axis=vals.ndim - 1, reverse=True)
+    return t
+
+
+def _deposit_packed(smass, base, w, nw, grid, run_compress: bool = False):
     """Mass deposit via four INDEPENDENT plane scatters.
 
     Measured on this backend at N=1M, nw=4096 (tools/scatter_micro.py):
@@ -296,11 +375,56 @@ def _deposit_packed(smass, base, w, nw, grid):
     CIC offset gets its own plane at the shared BASE cell; the planes then
     combine into the padded FFT grid with dense pad-shift adds (offsets:
     0=(0,0) 1=(+x) 2=(+y) 3=(+x,+y)).
+
+    ``run_compress``: bodies arrive Hilbert-SORTED, so bodies in the same
+    cell are contiguous runs of equal ``base``; pre-summing runs before the
+    scatter removes same-cell read-modify-write conflicts (the measured gap
+    between clustered 59 ms and uniform 16 ms deposits at N=1M).
+    ``True``/``1``: exact full-run compression via a segmented reverse
+    associative_scan — MEASURED A NET LOSS on this backend at N=1M (72 ms:
+    the 4-lane scan costs more than the conflicts it removes). Integer
+    W > 1: window-W compression — same-cell bodies are pre-summed within
+    fixed W-slot windows by DENSE compares/madds that XLA fuses into a
+    couple of elementwise kernels (no scan), cutting per-cell conflict
+    depth ~W x at ~1 ms of vector work. Any mode is exact up to per-cell
+    summation order.
     """
     dtype = smass.dtype
     K = w.shape[1]
-    planes = [jnp.zeros((nw * nw,), dtype).at[base].add(smass * w[:, k])
-              .reshape(nw, nw) for k in range(K)]
+    if run_compress and int(run_compress) > 1:
+        W = int(run_compress)
+        n = base.shape[0]
+        nb = n // W
+        assert nb * W == n, "capacity must be divisible by the window"
+        bw = base.reshape(nb, W)
+        vw = (smass[:, None] * w).T.reshape(K, nb, W)
+        eq = bw[:, :, None] == bw[:, None, :]                 # (nb, W, W)
+        jj = jnp.arange(W, dtype=jnp.int32)
+        upper = jj[:, None] <= jj[None, :]                    # k >= j
+        first = ~jnp.any(eq & ~upper, axis=2)                 # no earlier eq
+        take = eq & upper                                     # (nb, W, W)
+        contrib = jnp.sum(jnp.where(take[None], vw[:, :, None, :], 0.0),
+                          axis=3)                             # (K, nb, W)
+        tgt = jnp.where(first, bw, nw * nw).reshape(n)
+        vals_f = jnp.where(first[None], contrib, 0.0).reshape(K, n)
+        planes = [jnp.zeros((nw * nw + 1,), dtype)
+                  .at[tgt].add(vals_f[k], mode="drop")[:nw * nw]
+                  .reshape(nw, nw) for k in range(K)]
+    elif run_compress:
+        vals = (smass[:, None] * w).T                     # (K, n)
+        last = jnp.concatenate([base[1:] != base[:-1],
+                                jnp.ones((1,), bool)])
+        runsum = _seg_suffix_sum(vals, last)              # (K, n)
+        first = jnp.concatenate([jnp.ones((1,), bool),
+                                 base[1:] != base[:-1]])
+        tgt = jnp.where(first, base, nw * nw)             # dump non-firsts
+        vals_f = jnp.where(first[None, :], runsum, 0.0)
+        planes = [jnp.zeros((nw * nw + 1,), dtype)
+                  .at[tgt].add(vals_f[k], mode="drop")[:nw * nw]
+                  .reshape(nw, nw) for k in range(K)]
+    else:
+        planes = [jnp.zeros((nw * nw,), dtype).at[base].add(smass * w[:, k])
+                  .reshape(nw, nw) for k in range(K)]
     if K == 1:
         world = jnp.pad(planes[0], ((0, 1), (0, 1)))
     else:
@@ -389,7 +513,8 @@ def _mesh_force(spos, smass, origin, h, nw, grid, soft2, a, order, kernel):
 def pm_accel_sorted(spos, smass, salive, G, soft2, origin, root_side, *,
                     mesh_level: int, split_cells: float, band: int,
                     chunk: int, order: int = 2, interlace: bool = False,
-                    rescue_k: int = 0, kernel=None):
+                    rescue_k: int = 0, rescue_k_hot: int = 0,
+                    rescue_hot_cap: int = 128, kernel=None):
     """P3M acceleration in the Hilbert-SORTED frame: (n, 2) -> (n, 2).
 
     The body arrays must already be in Hilbert order over the root quad
@@ -421,23 +546,27 @@ def pm_accel_sorted(spos, smass, salive, G, soft2, origin, root_side, *,
     acc_short = _band_short_range(spos, smass, soft2, a, band=band,
                                   chunk=chunk)
     rescue_need = jnp.int32(0)
+    hot_count = jnp.int32(0)
     if rescue_k:
-        acc_r, rescue_need = _block_rescue(spos, smass, salive, soft2, a,
-                                           band=band, k=rescue_k,
-                                           chunk=chunk)
+        acc_r, rescue_need, hot_count = _block_rescue(
+            spos, smass, salive, soft2, a, band=band, k=rescue_k,
+            chunk=chunk, k_hot=rescue_k_hot, hot_cap=rescue_hot_cap)
         acc_short = acc_short + acc_r
 
     acc = (acc_mesh + acc_short) * salive[:, None].astype(dtype)
-    return G * acc, rescue_need
+    return G * acc, (rescue_need, hot_count)
 
 
 @functools.partial(jax.jit, static_argnames=("mesh_level", "split_cells",
                                               "band", "chunk", "order",
                                               "interlace", "rescue_k",
+                                              "rescue_k_hot",
+                                              "rescue_hot_cap",
                                               "return_stats"))
 def pm_accel(pos, mass, alive, G, soft2, origin, root_side, *,
              mesh_level: int, split_cells: float, band: int, chunk: int,
              order: int = 2, interlace: bool = False, rescue_k: int = 0,
+             rescue_k_hot: int = 0, rescue_hot_cap: int = 128,
              return_stats: bool = False, kernel=None):
     """P3M acceleration, original body order. (n, 2) -> (n, 2).
 
@@ -464,12 +593,13 @@ def pm_accel(pos, mass, alive, G, soft2, origin, root_side, *,
     """
     spos, smass, salive, unsort = _hilbert_sort(pos, mass, alive, origin,
                                                 root_side)
-    acc, rescue_need = pm_accel_sorted(
+    acc, (rescue_need, hot_count) = pm_accel_sorted(
         spos, smass, salive, G, soft2, origin, root_side,
         mesh_level=mesh_level, split_cells=split_cells, band=band,
         chunk=chunk, order=order, interlace=interlace, rescue_k=rescue_k,
+        rescue_k_hot=rescue_k_hot, rescue_hot_cap=rescue_hot_cap,
         kernel=kernel)
     out = acc[unsort]
     if return_stats:
-        return out, {"rescue_need": rescue_need}
+        return out, {"rescue_need": rescue_need, "rescue_hot": hot_count}
     return out

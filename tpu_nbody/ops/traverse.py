@@ -263,8 +263,20 @@ def _classify_dense(tree: Tree, gmin, gmax, gvalid, theta2, soft2, *,
     return approx, a_len, leaves, l_len, a_tot, l_tot
 
 
-def _direct_partners_all(tree: Tree, leaves, l_len, *, direct_body_cap):
-    """Flatten per-group leaf body ranges into padded partner-slot arrays."""
+def _direct_partners_all(tree: Tree, leaves, l_len, *, direct_body_cap,
+                         chunk: int = 64):
+    """Flatten per-group leaf body ranges into padded partner-slot arrays.
+
+    Slot j of group g belongs to the leaf whose cumulative-count interval
+    [offs_excl, offs) contains j, and maps to body ``lstart + (j -
+    offs_excl)``. Instead of inverting the cumsum with a vmapped
+    ``searchsorted`` + ``take_along_axis`` (measured ~150 ms of the 228 ms
+    N=100k force pass — the dominant cost of the whole solver), the
+    interval membership is evaluated DENSELY: an (L x DB) mask per group,
+    reduced with the per-leaf offset ``lstart - offs_excl``. Pure broadcast
+    compares + one masked sum at VPU rates (~350M lane-ops at bench shapes,
+    single-digit ms), chunked over groups to bound the mask working set.
+    """
     G, L = leaves.shape
     DB = direct_body_cap
     lvalid = jnp.arange(L, dtype=jnp.int32)[None, :] < l_len[:, None]
@@ -275,13 +287,24 @@ def _direct_partners_all(tree: Tree, leaves, l_len, *, direct_body_cap):
     offs = jnp.cumsum(counts, axis=1)
     total = offs[:, -1]
     jj = jnp.arange(DB, dtype=jnp.int32)
-    leaf_k = jax.vmap(lambda o: jnp.searchsorted(o, jj, side="right"))(offs)
-    leaf_k = jnp.clip(leaf_k, 0, L - 1).astype(jnp.int32)
-    prev = jnp.where(leaf_k > 0,
-                     jnp.take_along_axis(offs, jnp.maximum(leaf_k - 1, 0),
-                                         axis=1), 0)
-    slots = (jnp.take_along_axis(lstart, leaf_k, axis=1)
-             + (jj[None, :] - prev))
+
+    c = min(chunk, G)
+    n_chunks = -(-G // c)
+    pad = n_chunks * c - G
+
+    def pad_g(x):
+        return jnp.concatenate(
+            [x, jnp.zeros((pad, L), jnp.int32)]) if pad else x
+
+    def chunk_fn(args):
+        oi, oe, ls = args                                     # (c, L)
+        m = ((oe[:, :, None] <= jj[None, None, :])
+             & (jj[None, None, :] < oi[:, :, None]))          # (c, L, DB)
+        return jnp.sum(jnp.where(m, (ls - oe)[:, :, None], 0), axis=1)
+
+    packed = jax.tree.map(lambda x: pad_g(x).reshape(n_chunks, c, L),
+                          (offs, offs - counts, lstart))
+    slots = jax.lax.map(chunk_fn, packed).reshape(-1, DB)[:G] + jj[None, :]
     valid = jj[None, :] < jnp.minimum(total, DB)[:, None]
     return jnp.where(valid, slots, 0), valid, total
 
@@ -299,12 +322,12 @@ def _point_accel(bpos, src_pos, src_mass, soft2):
     jax.jit,
     static_argnames=("group_size", "group_cap", "max_depth", "frontier_cap",
                      "approx_cap", "leaf_list_cap", "direct_body_cap",
-                     "group_chunk", "traversal"))
+                     "group_chunk", "traversal", "debug_stage"))
 def bh_accel_from_tree(tree: Tree, theta, soft2, G, *, group_size: int,
                        group_cap: int, max_depth: int, frontier_cap: int,
                        approx_cap: int, leaf_list_cap: int,
                        direct_body_cap: int, group_chunk: int,
-                       traversal: str = "dense"):
+                       traversal: str = "dense", debug_stage: str = "full"):
     """BH accelerations for all bodies; returns (acc, stats).
 
     ``acc`` is in ORIGINAL body order. ``traversal`` selects the list
@@ -334,6 +357,8 @@ def bh_accel_from_tree(tree: Tree, theta, soft2, G, *, group_size: int,
         return mn, mx
 
     gmin, gmax = jax.vmap(aabb)(gstart, gcount, gvalid)
+    if debug_stage == "aabb":  # timing probe: groups + boxes only
+        return gmin + gmax, None
 
     # Chunk the traversal over groups: the BFS path's per-wave temporaries
     # are (groups x frontier_cap x 10-lane rows) and the dense path's masks
@@ -383,6 +408,8 @@ def bh_accel_from_tree(tree: Tree, theta, soft2, G, *, group_size: int,
     f_need = fn_c.reshape(tpad)[:group_cap]
     a_need = at_c.reshape(tpad)[:group_cap]
     l_need = lt_c.reshape(tpad)[:group_cap]
+    if debug_stage == "classify":  # timing probe: + lists/partners built
+        return (jnp.sum(approx) + jnp.sum(pslots)).astype(jnp.float32), None
 
     # ---- force evaluation, chunked over groups (pure gather + math) ----
     def one_group(gs, gc, gv, apx, al, psl, pv):
@@ -412,6 +439,8 @@ def bh_accel_from_tree(tree: Tree, theta, soft2, G, *, group_size: int,
         lambda x: x.reshape((n_chunks, group_chunk) + x.shape[1:]), args)
     acc_c = jax.lax.map(lambda a: jax.vmap(one_group)(*a), args)
     acc_rows = acc_c.reshape(pad, GS, 2)
+    if debug_stage == "force":  # timing probe: + pair blocks, no assembly
+        return acc_rows[:, 0], None
 
     # ---- scatter-free assembly: sorted slot -> (group, row) -> orig ----
     s = jnp.arange(cap, dtype=jnp.int32)

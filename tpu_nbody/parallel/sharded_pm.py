@@ -320,7 +320,7 @@ def _pm_accel_local(pos, mass, alive, G, soft2, origin, root_side, *,
         # Shard-local block rescue (ops/mesh.py::_block_rescue): recovers
         # short-range pairs split by Hilbert discontinuities WITHIN this
         # shard's curve segment.
-        acc_r, rescue_need = mesh_ops._block_rescue(
+        acc_r, rescue_need, _ = mesh_ops._block_rescue(
             spos, smass, salive, soft2, a, band=band, k=rescue_k,
             chunk=chunk)
         acc_short = acc_short + acc_r
