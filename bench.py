@@ -61,6 +61,10 @@ def main():
             frontier_cap=1024 if big_bh else 512,
             leaf_list_cap=512 if big_bh else 256,
             mesh_level=10 if args.small else 12,
+            # rect mesh: the scene is 2400x800 in a 2404^2 root quad — half
+            # the rows covers y in [-201, 1001] with margin and halves the
+            # padded-grid FFT/deposit/interp work (PERFORMANCE.md)
+            mesh_ny=0 if args.small else 2048,
             mesh_split=4.0 if args.small else 6.0,
             mesh_band=256 if args.small else 512,
             # flat rescue k: two-tier (mesh_rescue_hot) measured a NET

@@ -282,3 +282,45 @@ def test_two_tier_rescue_matches_single_tier():
     np.testing.assert_array_equal(np.asarray(need1), np.asarray(need2))
     np.testing.assert_allclose(np.asarray(acc2), np.asarray(acc1),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_rect_mesh_matches_square():
+    """Rectangular mesh (mesh_ny = nx/2, vertically centered) must agree
+    with the square mesh to mesh-truncation order on a scene inside the
+    window, report zero OOB there, and count OOB bodies when the scene
+    leaks out."""
+    lrng = np.random.default_rng(31)
+    cap, n = 2048, 1800
+    cfg = SimConfig(capacity=cap)
+    cx, cy = cfg.root_center
+    origin = (cx - cfg.root_half, cy - cfg.root_half)
+    side = 2.0 * cfg.root_half
+    pos = np.zeros((cap, 2), np.float32)
+    pos[:n, 0] = lrng.random(n) * 2300.0 + 50.0
+    pos[:n, 1] = lrng.random(n) * 700.0 + 50.0      # well inside ny window
+    mass = np.zeros(cap, np.float32)
+    mass[:n] = lrng.random(n).astype(np.float32) + 0.5
+    alive = jnp.asarray(np.arange(cap) < n)
+    kw = dict(mesh_level=9, split_cells=4.0, band=64, chunk=2048)
+
+    a_sq = mesh.pm_accel(jnp.asarray(pos), jnp.asarray(mass), alive, 80.0,
+                         1.0, origin, side, **kw)
+    a_rc, st = mesh.pm_accel(jnp.asarray(pos), jnp.asarray(mass), alive,
+                             80.0, 1.0, origin, side, mesh_ny=256,
+                             return_stats=True, **kw)
+    assert int(st["mesh_oob"]) == 0
+    sq = np.asarray(a_sq)[:n]
+    rc = np.asarray(a_rc)[:n]
+    scale = np.linalg.norm(sq, axis=1).mean()
+    # both are O(h/a)^2 approximations of the same smooth field sampled on
+    # shifted grids; they agree to a fraction of the typical force
+    assert np.abs(rc - sq).max() / scale < 0.05
+    assert np.abs(rc - sq).mean() / scale < 2e-3
+
+    # leak the scene out of the y window: the stat must count it
+    pos2 = pos.copy()
+    pos2[:50, 1] = cy + 300.0 * 256 / 512 + 700.0   # far above the window
+    _, st2 = mesh.pm_accel(jnp.asarray(pos2), jnp.asarray(mass), alive,
+                           80.0, 1.0, origin, side, mesh_ny=256,
+                           return_stats=True, **kw)
+    assert int(st2["mesh_oob"]) >= 50

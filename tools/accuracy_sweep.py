@@ -30,6 +30,7 @@ def main():
     ap.add_argument("--interlace", action="store_true")
     ap.add_argument("--rescue", type=int, default=0)
     ap.add_argument("--rescue-hot", type=int, default=0)
+    ap.add_argument("--ny", type=int, default=0)
     args = ap.parse_args()
 
     n = args.n
@@ -62,7 +63,7 @@ def main():
             pos, mass, alive, G, jnp.float32(soft2), origin, side,
             mesh_level=lvl, split_cells=split, band=band, chunk=16384,
             interlace=args.interlace, rescue_k=args.rescue,
-            rescue_k_hot=args.rescue_hot))
+            rescue_k_hot=args.rescue_hot, mesh_ny=args.ny))
         rel = (np.linalg.norm(acc - ref, axis=-1) / (refn + 1e-9))[sel]
         print(f"{spec:>18s} {rel.mean():10.2e} {np.median(rel):10.2e} "
               f"{np.percentile(rel, 99):10.2e}", flush=True)

@@ -46,18 +46,21 @@ def main():
     ap.add_argument("--split", type=float, default=4.0)
     ap.add_argument("--band", type=int, default=256)
     ap.add_argument("--chunk", type=int, default=16384)
+    ap.add_argument("--ny", type=int, default=0)
     ap.add_argument("--iters", type=int, default=8)
     args = ap.parse_args()
 
     cap = 1 << (args.n - 1).bit_length()
     cfg = SimConfig(capacity=cap, mesh_level=args.level,
                     mesh_split=args.split, mesh_band=args.band,
-                    mesh_chunk=args.chunk)
+                    mesh_chunk=args.chunk, mesh_ny=args.ny)
     ox, oy = cfg.root_center
     origin = jnp.asarray((ox - cfg.root_half, oy - cfg.root_half), jnp.float32)
     side = jnp.asarray(2.0 * cfg.root_half, jnp.float32)
     nw = 1 << cfg.mesh_level
+    nyv = cfg.mesh_ny or nw
     grid = 2 * nw
+    grid_y = 2 * nyv
     h = side / nw
     a = cfg.mesh_split * float(h)
 
@@ -76,9 +79,10 @@ def main():
         pos, mass, alive, origin, side)
     kernel = mesh_ops.kernel_hats_for(side, jnp.float32(1.0),
                                       mesh_level=cfg.mesh_level,
-                                      split_cells=cfg.mesh_split)
-    rho_example = jnp.zeros((grid, grid), jnp.float32)
-    fgrid_example = jnp.zeros((grid * grid, 2), jnp.float32)
+                                      split_cells=cfg.mesh_split,
+                                      mesh_ny=cfg.mesh_ny)
+    rho_example = jnp.zeros((grid_y, grid), jnp.float32)
+    fgrid_example = jnp.zeros((grid_y * grid // 4, 2), jnp.float32)
     jax.block_until_ready((spos, kernel))
 
     # ---- phase fns (salt perturbs a real input; returns a scalar) ----
@@ -91,9 +95,11 @@ def main():
     def make_deposit(run_compress):
         @jax.jit
         def ph(s):
-            base, w = mesh_ops._cic_cells(spos + s * 1e-6, origin, h, nw, 2)
+            base, w = mesh_ops._cic_cells(spos + s * 1e-6, origin, h, nw,
+                                          2, ny=nyv)
             rho = mesh_ops._deposit_packed(smass, base, w, nw, grid,
-                                           run_compress=run_compress)
+                                           run_compress=run_compress,
+                                           ny=nyv, grid_y=grid_y)
             return rho[0, 0] + jnp.sum(rho[0, :8]) + s
         return ph
 
@@ -104,7 +110,7 @@ def main():
         rho = rho0 + s * 1e-6
         phi_hat = kern[2]
         rho_hat = jnp.fft.rfft2(rho)
-        phi = jnp.fft.irfft2(rho_hat * phi_hat, s=(grid, grid))
+        phi = jnp.fft.irfft2(rho_hat * phi_hat, s=(grid_y, grid))
         return phi[0, 0] + s
 
     def ph_fft(s):
@@ -120,12 +126,15 @@ def main():
     def _interp(fx0, fy0, s):
         fx = fx0 + s * 1e-6
         fy = fy0 + s * 1e-6
-        base, w = mesh_ops._cic_cells(spos + s * 1e-6, origin, h, nw, 2)
-        acc = mesh_ops._interp_packed(fx, fy, base, w, nw)
+        base, w = mesh_ops._cic_cells(spos + s * 1e-6, origin, h, nw, 2,
+                                      ny=nyv)
+        acc = mesh_ops._interp_packed(fx, fy, base, w, nw, ny=nyv)
         return acc[0, 0] + s
 
+    fwin = jnp.zeros((nyv + 1, nw + 1), jnp.float32)
+
     def ph_interp(s):
-        return _interp(rho_example, rho_example, s)
+        return _interp(fwin, fwin, s)
 
     @jax.jit
     def ph_band(s):
@@ -163,7 +172,7 @@ def main():
                                 mesh_level=cfg.mesh_level,
                                 split_cells=cfg.mesh_split,
                                 band=cfg.mesh_band, chunk=cfg.mesh_chunk,
-                                kernel=kern)
+                                mesh_ny=cfg.mesh_ny, kernel=kern)
         return acc[0, 0] + s
 
     @jax.jit
@@ -173,7 +182,8 @@ def main():
                                 mesh_level=cfg.mesh_level,
                                 split_cells=cfg.mesh_split,
                                 band=cfg.mesh_band, chunk=cfg.mesh_chunk,
-                                rescue_k=4, kernel=kern)
+                                rescue_k=4, mesh_ny=cfg.mesh_ny,
+                                kernel=kern)
         return acc[0, 0] + s
 
     def ph_full(s):

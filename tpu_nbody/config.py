@@ -77,9 +77,13 @@ class SimConfig:
     direct_body_cap: int = 4096    # max direct (body-body) partners per group
     frontier_cap: int = 2048       # max BFS frontier nodes per wave per group
     group_chunk: int = 64          # groups evaluated per lax.map chunk (memory bound)
-    bh_traversal: str = "dense"    # "dense" = local monotone-MAC classify
+    bh_traversal: str = "auto"     # "dense" = local monotone-MAC classify
                                    # (no BFS — see ops/traverse.py), "bfs" =
-                                   # wave traversal (cross-check path)
+                                   # wave traversal (cross-check path),
+                                   # "auto" = dense below
+                                   # BH_DENSE_MAX_CAP capacity (dense is
+                                   # O(groups x nodes): 3x faster at
+                                   # N=100k, quadratically worse at N=1M)
     # P3M ("pm") solver knobs.
     mesh_level: int = 11           # world grid = 2^level per side over the root
     mesh_split: float = 4.0        # short/long split radius in cell units
@@ -87,6 +91,16 @@ class SimConfig:
     mesh_chunk: int = 16384        # bodies per band chunk (memory bound)
     mesh_order: int = 2            # mass assignment: 2 = CIC, 1 = NGP (faster,
                                    # ~20x noisier mesh force — see ops/mesh.py)
+    mesh_ny: int = 0               # rectangular mesh: world-grid ROWS (same
+                                   # cell size; columns stay 2^mesh_level over
+                                   # the root quad), vertically centered on
+                                   # the root center. 0 = square. The
+                                   # reference world is 3x wider than tall, so
+                                   # ny = nx/2 halves FFT/deposit/interp grid
+                                   # work; bodies leaving the window clamp to
+                                   # edge rows (counted in the mesh_oob
+                                   # stat). Single-chip pm only — the sharded
+                                   # pm path keeps its square slab grid.
     mesh_rescue: int = 4           # rescue partner blocks per band block
     mesh_rescue_hot: int = 0       # two-tier rescue: total partner blocks
                                    # for HOT blocks (need > mesh_rescue);

@@ -131,11 +131,24 @@ class Caps:
             group_size=self.group_size)
 
 
+# bh_traversal="auto" switchover: the dense monotone-MAC classification is
+# O(groups x nodes) — measured 3x faster than BFS at N=100k but 1.5x slower
+# at N=1M (both scale with capacity, so their product is quadratic).
+BH_DENSE_MAX_CAP = 1 << 18
+
+
+def _resolve_traversal(cfg: SimConfig) -> str:
+    if cfg.bh_traversal == "auto":
+        return "dense" if cfg.capacity <= BH_DENSE_MAX_CAP else "bfs"
+    return cfg.bh_traversal
+
+
 def make_bh_accel(cfg: SimConfig, caps: Caps, strict_parity: bool = False):
     """accel(pos, mass, alive, params) -> (acc, stats) via Barnes-Hut."""
     ox, oy = cfg.root_center
     origin = (ox - cfg.root_half, oy - cfg.root_half)
     side = 2.0 * cfg.root_half
+    traversal = _resolve_traversal(cfg)
 
     def accel(pos, mass, alive, params):
         mass_exert = mass
@@ -155,7 +168,7 @@ def make_bh_accel(cfg: SimConfig, caps: Caps, strict_parity: bool = False):
             max_depth=cfg.max_depth, frontier_cap=caps.frontier_cap,
             approx_cap=caps.approx_cap, leaf_list_cap=caps.leaf_list_cap,
             direct_body_cap=caps.direct_body_cap,
-            group_chunk=cfg.group_chunk, traversal=cfg.bh_traversal)
+            group_chunk=cfg.group_chunk, traversal=traversal)
 
     return accel
 
@@ -176,7 +189,8 @@ def make_pm_accel(cfg: SimConfig):
     def prepare(params):
         return mesh_lib.kernel_hats_for(
             side, params.soft2, mesh_level=cfg.mesh_level,
-            split_cells=cfg.mesh_split, dtype=cfg.jdtype)
+            split_cells=cfg.mesh_split, mesh_ny=cfg.mesh_ny,
+            dtype=cfg.jdtype)
 
     def accel(pos, mass, alive, params, kernel=None):
         acc, st = mesh_lib.pm_accel(
@@ -185,7 +199,7 @@ def make_pm_accel(cfg: SimConfig):
             band=cfg.mesh_band, chunk=min(cfg.mesh_chunk, cfg.capacity),
             order=cfg.mesh_order, rescue_k=cfg.mesh_rescue,
             rescue_k_hot=cfg.mesh_rescue_hot,
-            rescue_hot_cap=cfg.mesh_rescue_hot_cap,
+            rescue_hot_cap=cfg.mesh_rescue_hot_cap, mesh_ny=cfg.mesh_ny,
             return_stats=True, kernel=kernel)
         return acc, st
 
@@ -214,11 +228,12 @@ _INTEGRATORS = {
 
 def _split_aux(st):
     """Normalize an accel aux (TraversalStats | pm stats dict | None) into
-    the step stats fields (trav, rescue_need, rescue_hot)."""
+    the step stats fields (trav, rescue_need, rescue_hot, mesh_oob)."""
     if isinstance(st, dict):
         return (None, st.get("rescue_need", jnp.int32(0)),
-                st.get("rescue_hot", jnp.int32(0)))
-    return st, jnp.int32(0), jnp.int32(0)
+                st.get("rescue_hot", jnp.int32(0)),
+                st.get("mesh_oob", jnp.int32(0)))
+    return st, jnp.int32(0), jnp.int32(0), jnp.int32(0)
 
 
 def _make_pm_sorted_step(cfg: SimConfig, merge_heavy_cap: int) -> Callable:
@@ -249,7 +264,8 @@ def _make_pm_sorted_step(cfg: SimConfig, merge_heavy_cap: int) -> Callable:
             mesh_level=cfg.mesh_level, split_cells=cfg.mesh_split,
             band=cfg.mesh_band, chunk=chunk, order=cfg.mesh_order,
             rescue_k=cfg.mesh_rescue, rescue_k_hot=cfg.mesh_rescue_hot,
-            rescue_hot_cap=cfg.mesh_rescue_hot_cap, kernel=kernel)
+            rescue_hot_cap=cfg.mesh_rescue_hot_cap, mesh_ny=cfg.mesh_ny,
+            kernel=kernel)
 
     def permute(state, o):
         return state._replace(pos=state.pos[o], vel=state.vel[o],
@@ -263,7 +279,8 @@ def _make_pm_sorted_step(cfg: SimConfig, merge_heavy_cap: int) -> Callable:
     def seed_fn(state: SimState, params: Params):
         kernel = mesh_lib.kernel_hats_for(
             side, params.soft2, mesh_level=cfg.mesh_level,
-            split_cells=cfg.mesh_split, dtype=cfg.jdtype)
+            split_cells=cfg.mesh_split, mesh_ny=cfg.mesh_ny,
+            dtype=cfg.jdtype)
         perm = sort_order(state)
         state = permute(state, perm)
         acc0, need0 = accel_sorted(state.pos, state.mass, state.alive,
@@ -273,12 +290,12 @@ def _make_pm_sorted_step(cfg: SimConfig, merge_heavy_cap: int) -> Callable:
     @functools.partial(jax.jit, static_argnames=("n_steps",))
     def loop_fn(state, perm, acc, need0, kernel, params, n_steps: int):
         def one(carry, i):
-            state, acc, perm, heavy_max, resc_max, hot_max = carry
+            state, acc, perm, heavy_max, resc_max, hot_max, oob_max = carry
             half = params.dt * 0.5
             vel = state.vel + acc * half
             pos = state.pos + vel * params.dt
-            a2, (need, hot) = accel_sorted(pos, state.mass, state.alive,
-                                           params, kernel)
+            a2, (need, hot, oob) = accel_sorted(pos, state.mass, state.alive,
+                                                params, kernel)
             vel = vel + a2 * half
             state = state._replace(pos=pos, vel=vel, step=state.step + 1)
             state, heavy = merge_bodies(state, params,
@@ -293,14 +310,16 @@ def _make_pm_sorted_step(cfg: SimConfig, merge_heavy_cap: int) -> Callable:
                 state, a2, perm)
             return (state, a2, perm, jnp.maximum(heavy_max, heavy),
                     jnp.maximum(resc_max, need),
-                    jnp.maximum(hot_max, hot)), None
+                    jnp.maximum(hot_max, hot),
+                    jnp.maximum(oob_max, oob)), None
 
         init = (state, acc, perm, jnp.int32(0)) + need0
-        (state, acc, perm, heavy, resc, hot), _ = jax.lax.scan(
+        (state, acc, perm, heavy, resc, hot, oob), _ = jax.lax.scan(
             one, init, jnp.arange(n_steps))
         state = permute(state, jnp.argsort(perm))
         return state, {"trav": None, "heavy_need": heavy,
-                       "rescue_need": resc, "rescue_hot": hot}
+                       "rescue_need": resc, "rescue_hot": hot,
+                       "mesh_oob": oob}
 
     def step_n(state: SimState, params: Params, n_steps: int = 1):
         state, perm, acc0, need0, kernel = seed_fn(state, params)
@@ -377,12 +396,13 @@ def make_step_fn(cfg: SimConfig, caps: Caps, solver: str, integrator: str,
         def one_step(state, params):
             del stats_holder[:]
             state = int_step(state, params, accel)
-            trav, resc, hot = _split_aux(
+            trav, resc, hot, oob = _split_aux(
                 functools.reduce(max_stats, stats_holder, None))
             state, heavy = merge_bodies(state, params,
                                         heavy_cap=merge_heavy_cap)
             return state, {"trav": trav, "heavy_need": heavy,
-                           "rescue_need": resc, "rescue_hot": hot}
+                           "rescue_need": resc, "rescue_hot": hot,
+                           "mesh_oob": oob}
 
         @functools.partial(jax.jit, static_argnames=("n_steps",))
         def step_n(state: SimState, params: Params, n_steps: int = 1):
@@ -406,12 +426,13 @@ def make_step_fn(cfg: SimConfig, caps: Caps, solver: str, integrator: str,
         def one_step(state, acc, params):
             del stats_holder[:]
             state, acc = integrate.kdk_reuse_step(state, acc, params, accel)
-            trav, resc, hot = _split_aux(
+            trav, resc, hot, oob = _split_aux(
                 functools.reduce(max_stats, stats_holder, None))
             state, heavy = merge_bodies(state, params,
                                         heavy_cap=merge_heavy_cap)
             return state, acc, {"trav": trav, "heavy_need": heavy,
-                                "rescue_need": resc, "rescue_hot": hot}
+                                "rescue_need": resc, "rescue_hot": hot,
+                                "mesh_oob": oob}
 
         # The seed force pass runs in its OWN executable: at large N two
         # traversal instances in one XLA program crash this backend's TPU
@@ -426,10 +447,11 @@ def make_step_fn(cfg: SimConfig, caps: Caps, solver: str, integrator: str,
             aux_cell[0] = aux
             del stats_holder[:]
             acc0 = accel(state.pos, state.mass, state.alive, params)
-            trav, resc, hot = _split_aux(
+            trav, resc, hot, oob = _split_aux(
                 functools.reduce(max_stats, stats_holder, None))
             seed_st = {"trav": trav, "heavy_need": jnp.int32(0),
-                       "rescue_need": resc, "rescue_hot": hot}
+                       "rescue_need": resc, "rescue_hot": hot,
+                       "mesh_oob": oob}
             return acc0, seed_st, aux
 
         @functools.partial(jax.jit, static_argnames=("n_steps",))
@@ -489,6 +511,10 @@ class Engine:
         # Hot blocks (need > mesh_rescue) seen by the two-tier rescue; must
         # stay <= cfg.mesh_rescue_hot_cap for top-k_hot coverage.
         self.last_rescue_hot: int = 0
+        # Alive bodies outside the rectangular mesh window (cfg.mesh_ny):
+        # they clamp to the edge rows; nonzero means the window is
+        # mis-sized for the scene.
+        self.last_mesh_oob: int = 0
         self._step_fn = None
 
     # ------------------------------------------------------------ stepping
@@ -507,6 +533,7 @@ class Engine:
         self.last_heavy_need = int(stats["heavy_need"])
         self.last_rescue_need = int(stats.get("rescue_need", 0))
         self.last_rescue_hot = int(stats.get("rescue_hot", 0))
+        self.last_mesh_oob = int(stats.get("mesh_oob", 0))
         return stats
 
     def _overflowed(self, stats) -> bool:

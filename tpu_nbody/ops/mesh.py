@@ -49,7 +49,7 @@ def _hilbert_sort(pos, mass, alive, origin, side):
             alive[order], jnp.argsort(order))
 
 
-def _kernel_hats(grid, h, soft2, a, dtype):
+def _kernel_hats(grid, h, soft2, a, dtype, grid_y=None):
     """Spectral kernels for the long-range convolution: (Kx̂, Kŷ, φ̂).
 
     Kx̂/Kŷ are rfft2s of the sampled long-range force kernel. Offsets are
@@ -71,10 +71,17 @@ def _kernel_hats(grid, h, soft2, a, dtype):
     The fit residual is the same O((kh)⁶) order as the FD truncation. Modes where both eigenvalues vanish (DC and Nyquist lines)
     get φ̂ = 0; they carry no usable gradient information.
     """
+    gy = grid if grid_y is None else grid_y
     ix = jnp.arange(grid)
     off = jnp.where(ix <= grid // 2, ix, ix - grid).astype(dtype) * h
-    # Grid layout is row-major [y][x]: axis 0 = y, axis 1 = x.
-    dy = off[:, None]
+    iy = jnp.arange(gy)
+    offy = jnp.where(iy <= gy // 2, iy, iy - gy).astype(dtype) * h
+    # Grid layout is row-major [y][x]: axis 0 = y, axis 1 = x. The padded
+    # grid may be RECTANGULAR (gy rows x grid cols, same cell size): the
+    # reference world is 3x wider than tall, so a square mesh over the
+    # (square, tree-driven) root quad wastes most y rows on empty space —
+    # column FFTs, deposit planes and interp tables all shrink with gy.
+    dy = offy[:, None]
     dx = off[None, :]
     r2 = dx * dx + dy * dy
     inv = jax.lax.rsqrt(r2 + soft2) / (r2 + soft2)
@@ -88,7 +95,10 @@ def _kernel_hats(grid, h, soft2, a, dtype):
     tw = 2.0 * jnp.pi * jnp.arange(grid).astype(dtype) / grid
     d6 = (45.0 * jnp.sin(tw) - 9.0 * jnp.sin(2.0 * tw)
           + jnp.sin(3.0 * tw)) / (30.0 * h)
-    d6y = d6[:, None]
+    twy = 2.0 * jnp.pi * jnp.arange(gy).astype(dtype) / gy
+    d6yv = (45.0 * jnp.sin(twy) - 9.0 * jnp.sin(2.0 * twy)
+            + jnp.sin(3.0 * twy)) / (30.0 * h)
+    d6y = d6yv[:, None]
     d6x = d6[None, : grid // 2 + 1]
     den = d6x * d6x + d6y * d6y
     safe = jnp.where(den > 0, den, 1.0)
@@ -99,23 +109,25 @@ def _kernel_hats(grid, h, soft2, a, dtype):
 
 
 @functools.partial(jax.jit, static_argnames=("mesh_level", "split_cells",
-                                              "dtype"))
+                                              "mesh_ny", "dtype"))
 def kernel_hats_for(root_side, soft2, *, mesh_level: int, split_cells: float,
-                    dtype=jnp.float32):
+                    mesh_ny: int = 0, dtype=jnp.float32):
     """Precompute the (Kx_hat, Ky_hat, phi_hat) long-range kernel FFTs.
 
     They depend only on static config + per-run-constant ``soft2``, so hoist
     them out of the step loop: two full padded-grid rfft2s per force pass
     (~40% of the P3M FFT work at N=1M) become one computation per jitted
     step_n call, carried into ``lax.scan`` as loop constants. Pass the result
-    as ``pm_accel(..., kernel=...)``.
+    as ``pm_accel(..., kernel=...)``. ``mesh_ny``: rectangular world grid
+    rows (0 = square nw x nw).
     """
     root_side = jnp.asarray(root_side, dtype)
     nw = 1 << mesh_level
+    ny = mesh_ny or nw
     grid = 2 * nw
     h = root_side / nw
     a = split_cells * h
-    return _kernel_hats(grid, h, soft2, a, dtype)
+    return _kernel_hats(grid, h, soft2, a, dtype, grid_y=2 * ny)
 
 
 def _band_short_range(spos, smass, soft2, a, *, band: int, chunk: int):
@@ -315,27 +327,28 @@ def _block_rescue(spos, smass, salive, soft2, a, *, band: int, k: int,
     return acc[:cap], need, hot_count
 
 
-def _cic_cells(spos, origin, h, nw, order):
+def _cic_cells(spos, origin, h, nw, order, ny=None):
     """Base world cell (row-major, clipped) + per-offset weights.
 
     order 2 (CIC): weights (n, 4) for offsets [(0,0), (+x,0), (0,+y),
     (+x,+y)] in cell-center coordinates. order 1 (NGP): weights (n, 1) for
-    the containing cell. The base is clipped to [0, nw-1]; the +1 offsets
-    deliberately reach row/column ``nw`` (the first padded row/col of the
-    FFT domain), which is physically correct for bodies within h of the
-    world's high edge.
+    the containing cell. The base is clipped to [0, n-1] per axis (nw
+    columns, ``ny`` or nw rows); the +1 offsets deliberately reach
+    row/column ``n`` (the first padded row/col of the FFT domain), which
+    is physically correct for bodies within h of the world's high edge.
     """
     dtype = spos.dtype
+    ny = nw if ny is None else ny
     scaled = (spos - origin) / h
     if order == 1:
-        cell = jnp.clip(jnp.floor(scaled).astype(jnp.int32), 0, nw - 1)
-        base = cell[:, 1] * nw + cell[:, 0]
-        return base, jnp.ones((spos.shape[0], 1), dtype)
+        cx = jnp.clip(jnp.floor(scaled[:, 0]).astype(jnp.int32), 0, nw - 1)
+        cy = jnp.clip(jnp.floor(scaled[:, 1]).astype(jnp.int32), 0, ny - 1)
+        return cy * nw + cx, jnp.ones((spos.shape[0], 1), dtype)
     u = scaled - 0.5                   # in cell-CENTER coordinates
     b = jnp.floor(u).astype(jnp.int32)
     frac = u - b.astype(dtype)         # in [0, 1)
     bx = jnp.clip(b[:, 0], 0, nw - 1)
-    by = jnp.clip(b[:, 1], 0, nw - 1)
+    by = jnp.clip(b[:, 1], 0, ny - 1)
     wx1, wy1 = frac[:, 0], frac[:, 1]
     wx0, wy0 = 1.0 - wx1, 1.0 - wy1
     w4 = jnp.stack([wx0 * wy0, wx1 * wy0, wx0 * wy1, wx1 * wy1], axis=1)
@@ -364,7 +377,8 @@ def _seg_suffix_sum(vals, last_of_run):
     return t
 
 
-def _deposit_packed(smass, base, w, nw, grid, run_compress: bool = False):
+def _deposit_packed(smass, base, w, nw, grid, run_compress: bool = False,
+                    ny=None, grid_y=None):
     """Mass deposit via four INDEPENDENT plane scatters.
 
     Measured on this backend at N=1M, nw=4096 (tools/scatter_micro.py):
@@ -390,6 +404,8 @@ def _deposit_packed(smass, base, w, nw, grid, run_compress: bool = False):
     summation order.
     """
     dtype = smass.dtype
+    ny = nw if ny is None else ny
+    grid_y = grid if grid_y is None else grid_y
     K = w.shape[1]
     if run_compress and int(run_compress) > 1:
         W = int(run_compress)
@@ -405,11 +421,11 @@ def _deposit_packed(smass, base, w, nw, grid, run_compress: bool = False):
         take = eq & upper                                     # (nb, W, W)
         contrib = jnp.sum(jnp.where(take[None], vw[:, :, None, :], 0.0),
                           axis=3)                             # (K, nb, W)
-        tgt = jnp.where(first, bw, nw * nw).reshape(n)
+        tgt = jnp.where(first, bw, ny * nw).reshape(n)
         vals_f = jnp.where(first[None], contrib, 0.0).reshape(K, n)
-        planes = [jnp.zeros((nw * nw + 1,), dtype)
-                  .at[tgt].add(vals_f[k], mode="drop")[:nw * nw]
-                  .reshape(nw, nw) for k in range(K)]
+        planes = [jnp.zeros((ny * nw + 1,), dtype)
+                  .at[tgt].add(vals_f[k], mode="drop")[:ny * nw]
+                  .reshape(ny, nw) for k in range(K)]
     elif run_compress:
         vals = (smass[:, None] * w).T                     # (K, n)
         last = jnp.concatenate([base[1:] != base[:-1],
@@ -417,14 +433,14 @@ def _deposit_packed(smass, base, w, nw, grid, run_compress: bool = False):
         runsum = _seg_suffix_sum(vals, last)              # (K, n)
         first = jnp.concatenate([jnp.ones((1,), bool),
                                  base[1:] != base[:-1]])
-        tgt = jnp.where(first, base, nw * nw)             # dump non-firsts
+        tgt = jnp.where(first, base, ny * nw)             # dump non-firsts
         vals_f = jnp.where(first[None, :], runsum, 0.0)
-        planes = [jnp.zeros((nw * nw + 1,), dtype)
-                  .at[tgt].add(vals_f[k], mode="drop")[:nw * nw]
-                  .reshape(nw, nw) for k in range(K)]
+        planes = [jnp.zeros((ny * nw + 1,), dtype)
+                  .at[tgt].add(vals_f[k], mode="drop")[:ny * nw]
+                  .reshape(ny, nw) for k in range(K)]
     else:
-        planes = [jnp.zeros((nw * nw,), dtype).at[base].add(smass * w[:, k])
-                  .reshape(nw, nw) for k in range(K)]
+        planes = [jnp.zeros((ny * nw,), dtype).at[base].add(smass * w[:, k])
+                  .reshape(ny, nw) for k in range(K)]
     if K == 1:
         world = jnp.pad(planes[0], ((0, 1), (0, 1)))
     else:
@@ -432,11 +448,11 @@ def _deposit_packed(smass, base, w, nw, grid, run_compress: bool = False):
                  + jnp.pad(planes[1], ((0, 1), (1, 0)))
                  + jnp.pad(planes[2], ((1, 0), (0, 1)))
                  + jnp.pad(planes[3], ((1, 0), (1, 0))))
-    rho = jnp.zeros((grid, grid), dtype)
+    rho = jnp.zeros((grid_y, grid), dtype)
     return jax.lax.dynamic_update_slice(rho, world, (0, 0))
 
 
-def _interp_packed(fx, fy, base, w, nw):
+def _interp_packed(fx, fy, base, w, nw, ny=None):
     """Force interpolation with ONE row-gather per body.
 
     The (fx, fy) values of all 4 CIC cells are pre-packed into (nw^2, 8)
@@ -446,15 +462,16 @@ def _interp_packed(fx, fy, base, w, nw):
     kernel's self-force cancels.
     """
     K = w.shape[1]
-    sl = lambda gz, dy, dx: jax.lax.dynamic_slice(gz, (dy, dx), (nw, nw))
+    ny = nw if ny is None else ny
+    sl = lambda gz, dy, dx: jax.lax.dynamic_slice(gz, (dy, dx), (ny, nw))
     if K == 1:
         F = jnp.stack([sl(fx, 0, 0), sl(fy, 0, 0)], axis=-1)
-        rows = F.reshape(nw * nw, 2)[base]
+        rows = F.reshape(ny * nw, 2)[base]
         return rows * w[:, 0:1]
     F = jnp.stack([sl(fx, 0, 0), sl(fy, 0, 0), sl(fx, 0, 1), sl(fy, 0, 1),
                    sl(fx, 1, 0), sl(fy, 1, 0), sl(fx, 1, 1), sl(fy, 1, 1)],
                   axis=-1)
-    rows = F.reshape(nw * nw, 8)[base]              # (n, 8) single gather
+    rows = F.reshape(ny * nw, 8)[base]              # (n, 8) single gather
     ax = (w[:, 0] * rows[:, 0] + w[:, 1] * rows[:, 2]
           + w[:, 2] * rows[:, 4] + w[:, 3] * rows[:, 6])
     ay = (w[:, 0] * rows[:, 1] + w[:, 1] * rows[:, 3]
@@ -462,32 +479,39 @@ def _interp_packed(fx, fy, base, w, nw):
     return jnp.stack([ax, ay], axis=-1)
 
 
-def _mesh_force(spos, smass, origin, h, nw, grid, soft2, a, order, kernel):
+def _mesh_force(spos, smass, origin, h, nw, grid, soft2, a, order, kernel,
+                ny=None):
     """Deposit -> FFT convolution -> interpolate, for one grid registration.
 
     Deposit and interpolation MUST use the same assignment scheme: for the
     odd force kernel, symmetric deposit/interp makes the self-force cancel
     exactly (mixed schemes leave a large spurious self-kick).
+
+    ``ny``: rectangular world-grid rows (columns stay nw; same cell size).
+    The padded FFT grid is (2*ny, 2*nw) and ``kernel`` must be built for it
+    (``kernel_hats_for(..., mesh_ny=ny)``).
     """
-    base, w = _cic_cells(spos, origin, h, nw, order)
-    rho = _deposit_packed(smass, base, w, nw, grid)
+    ny = nw if ny is None else ny
+    grid_y = grid if ny == nw else 2 * ny
+    base, w = _cic_cells(spos, origin, h, nw, order, ny=ny)
+    rho = _deposit_packed(smass, base, w, nw, grid, ny=ny, grid_y=grid_y)
     _, _, phi_hat = kernel
     # Trimmed transforms (measured bit-exact vs rfft2/irfft2,
     # tools/r3_experiments.py): the deposit occupies only rows/cols
-    # 0..nw+1 of the doubled padded grid, so the forward row-rffts run on
-    # those nw+2 rows only; and only phi rows -3..nw+3 (the FD window
+    # 0..ny+1 of the doubled padded grid, so the forward row-rffts run on
+    # those ny+2 rows only; and only phi rows -3..ny+3 (the FD window
     # incl. the wrapped stencil taps) are needed, so the inverse row-irfft
-    # runs on nw+7 of the 2*nw rows. The column transforms must stay full
+    # runs on ny+7 of the 2*ny rows. The column transforms must stay full
     # (every output row mixes all row wavenumbers).
-    occ = nw + 2
+    occ = ny + 2
     rh = jnp.fft.rfft(rho[:occ], axis=1)
-    rh = jnp.pad(rh, ((0, grid - occ), (0, 0)))
+    rh = jnp.pad(rh, ((0, grid_y - occ), (0, 0)))
     sp = jnp.fft.ifft(jnp.fft.fft(rh, axis=0) * phi_hat, axis=0)
-    rows = jnp.concatenate([sp[-3:], sp[:nw + 4]])        # rows -3..nw+3
-    pw = jnp.fft.irfft(rows, n=grid, axis=1)              # (nw+7, grid)
-    # 6th-order FD gradient, evaluated only on the (nw+1)-sized window the
-    # interpolation reads (cells 0..nw each axis). The stencil reaches
-    # [-3, nw+3]; the three negative taps wrap to the far padded edge
+    rows = jnp.concatenate([sp[-3:], sp[:ny + 4]])        # rows -3..ny+3
+    pw = jnp.fft.irfft(rows, n=grid, axis=1)              # (ny+7, grid)
+    # 6th-order FD gradient, evaluated only on the interpolation window
+    # (cells 0..nw in x, 0..ny in y). The stencil reaches [-3, n+3] per
+    # axis; the three negative taps wrap to the far padded edge
     # (rows/cols grid-3..grid-1, realized by the sp[-3:] slice above and
     # the column roll below). Those taps read the aliased region of the
     # doubled-domain convolution (wrap-around from mass near the opposite
@@ -500,21 +524,23 @@ def _mesh_force(spos, smass, origin, h, nw, grid, soft2, a, order, kernel):
     c1 = 45.0 / (60.0 * h)
     c2 = 9.0 / (60.0 * h)
     c3 = 1.0 / (60.0 * h)
-    m = nw + 1
-    fx = (c1 * (pw[3:3 + m, 4:4 + m] - pw[3:3 + m, 2:2 + m])
-          - c2 * (pw[3:3 + m, 5:5 + m] - pw[3:3 + m, 1:1 + m])
-          + c3 * (pw[3:3 + m, 6:6 + m] - pw[3:3 + m, 0:0 + m]))
-    fy = (c1 * (pw[4:4 + m, 3:3 + m] - pw[2:2 + m, 3:3 + m])
-          - c2 * (pw[5:5 + m, 3:3 + m] - pw[1:1 + m, 3:3 + m])
-          + c3 * (pw[6:6 + m, 3:3 + m] - pw[0:0 + m, 3:3 + m]))
-    return _interp_packed(fx, fy, base, w, nw)
+    mx = nw + 1
+    my = ny + 1
+    fx = (c1 * (pw[3:3 + my, 4:4 + mx] - pw[3:3 + my, 2:2 + mx])
+          - c2 * (pw[3:3 + my, 5:5 + mx] - pw[3:3 + my, 1:1 + mx])
+          + c3 * (pw[3:3 + my, 6:6 + mx] - pw[3:3 + my, 0:0 + mx]))
+    fy = (c1 * (pw[4:4 + my, 3:3 + mx] - pw[2:2 + my, 3:3 + mx])
+          - c2 * (pw[5:5 + my, 3:3 + mx] - pw[1:1 + my, 3:3 + mx])
+          + c3 * (pw[6:6 + my, 3:3 + mx] - pw[0:0 + my, 3:3 + mx]))
+    return _interp_packed(fx, fy, base, w, nw, ny=ny)
 
 
 def pm_accel_sorted(spos, smass, salive, G, soft2, origin, root_side, *,
                     mesh_level: int, split_cells: float, band: int,
                     chunk: int, order: int = 2, interlace: bool = False,
                     rescue_k: int = 0, rescue_k_hot: int = 0,
-                    rescue_hot_cap: int = 128, kernel=None):
+                    rescue_hot_cap: int = 128, mesh_ny: int = 0,
+                    kernel=None):
     """P3M acceleration in the Hilbert-SORTED frame: (n, 2) -> (n, 2).
 
     The body arrays must already be in Hilbert order over the root quad
@@ -523,25 +549,44 @@ def pm_accel_sorted(spos, smass, salive, G, soft2, origin, root_side, *,
     permanently sorted (integrate/merge are order-agnostic) and pay the
     36 ms argsort + 19 ms unsort gather (N=1M) once per resort interval
     instead of once per force pass — the round-2 per-phase table's largest
-    self-inflicted cost. Returns ``(acc_sorted, rescue_need)``.
+    self-inflicted cost. Returns ``(acc_sorted, (rescue_need, hot_count,
+    mesh_oob))``.
+
+    ``mesh_ny``: rectangular mesh — the world grid keeps nw = 2^mesh_level
+    columns over the root quad's x extent but only ``mesh_ny`` rows of the
+    same cell size, VERTICALLY CENTERED on the root center (the reference
+    world is 3x wider than tall; a square mesh wastes most rows). Bodies
+    outside the y window clamp to the edge rows (the same bounded
+    approximation out-of-root bodies always got) and are counted in the
+    ``mesh_oob`` stat so callers can detect a mis-sized window.
     """
     dtype = spos.dtype
     origin = jnp.asarray(origin, dtype)
     root_side = jnp.asarray(root_side, dtype)
     nw = 1 << mesh_level
+    ny = mesh_ny or nw
     grid = 2 * nw
     h = root_side / nw
     a = split_cells * h
     smass = jnp.where(salive, smass, 0.0)
+    mesh_oob = jnp.int32(0)
+    if ny != nw:
+        oy = origin[1] + 0.5 * root_side - 0.5 * ny * h
+        morigin = jnp.stack([origin[0], oy])
+        sy = (spos[:, 1] - oy) / h
+        mesh_oob = jnp.sum(salive & ((sy < 0.0) | (sy >= ny))
+                           ).astype(jnp.int32)
+    else:
+        morigin = origin
 
     if kernel is None:
-        kernel = _kernel_hats(grid, h, soft2, a, dtype)
-    acc_mesh = _mesh_force(spos, smass, origin, h, nw, grid, soft2, a,
-                           order, kernel)
+        kernel = _kernel_hats(grid, h, soft2, a, dtype, grid_y=2 * ny)
+    acc_mesh = _mesh_force(spos, smass, morigin, h, nw, grid, soft2, a,
+                           order, kernel, ny=ny)
     if interlace:
         acc_mesh = 0.5 * (acc_mesh + _mesh_force(
-            spos, smass, origin - 0.5 * h, h, nw, grid, soft2, a, order,
-            kernel))
+            spos, smass, morigin - 0.5 * h, h, nw, grid, soft2, a, order,
+            kernel, ny=ny))
 
     acc_short = _band_short_range(spos, smass, soft2, a, band=band,
                                   chunk=chunk)
@@ -554,20 +599,20 @@ def pm_accel_sorted(spos, smass, salive, G, soft2, origin, root_side, *,
         acc_short = acc_short + acc_r
 
     acc = (acc_mesh + acc_short) * salive[:, None].astype(dtype)
-    return G * acc, (rescue_need, hot_count)
+    return G * acc, (rescue_need, hot_count, mesh_oob)
 
 
 @functools.partial(jax.jit, static_argnames=("mesh_level", "split_cells",
                                               "band", "chunk", "order",
                                               "interlace", "rescue_k",
                                               "rescue_k_hot",
-                                              "rescue_hot_cap",
+                                              "rescue_hot_cap", "mesh_ny",
                                               "return_stats"))
 def pm_accel(pos, mass, alive, G, soft2, origin, root_side, *,
              mesh_level: int, split_cells: float, band: int, chunk: int,
              order: int = 2, interlace: bool = False, rescue_k: int = 0,
              rescue_k_hot: int = 0, rescue_hot_cap: int = 128,
-             return_stats: bool = False, kernel=None):
+             mesh_ny: int = 0, return_stats: bool = False, kernel=None):
     """P3M acceleration, original body order. (n, 2) -> (n, 2).
 
     mesh_level: world grid is 2^level x 2^level over the root quad; the FFT
@@ -593,13 +638,14 @@ def pm_accel(pos, mass, alive, G, soft2, origin, root_side, *,
     """
     spos, smass, salive, unsort = _hilbert_sort(pos, mass, alive, origin,
                                                 root_side)
-    acc, (rescue_need, hot_count) = pm_accel_sorted(
+    acc, (rescue_need, hot_count, mesh_oob) = pm_accel_sorted(
         spos, smass, salive, G, soft2, origin, root_side,
         mesh_level=mesh_level, split_cells=split_cells, band=band,
         chunk=chunk, order=order, interlace=interlace, rescue_k=rescue_k,
         rescue_k_hot=rescue_k_hot, rescue_hot_cap=rescue_hot_cap,
-        kernel=kernel)
+        mesh_ny=mesh_ny, kernel=kernel)
     out = acc[unsort]
     if return_stats:
-        return out, {"rescue_need": rescue_need, "rescue_hot": hot_count}
+        return out, {"rescue_need": rescue_need, "rescue_hot": hot_count,
+                     "mesh_oob": mesh_oob}
     return out

@@ -142,13 +142,19 @@ def make_sharded_bh_step(mesh: Mesh, cfg: SimConfig, caps, *,
                                 num_nodes=caps.num_nodes,
                                 leaf_size=cfg.leaf_size,
                                 max_depth=cfg.max_depth)
+        # traversal picked on the LOCAL (per-shard) capacity: dense
+        # classification is O(groups x nodes) of the local tree
+        from tpu_nbody.engine import BH_DENSE_MAX_CAP
+        local_trav = (cfg.bh_traversal if cfg.bh_traversal != "auto"
+                      else ("dense" if cfg.capacity // n_shards
+                            <= BH_DENSE_MAX_CAP else "bfs"))
         acc, tstats = traverse.bh_accel_from_tree(
             t, params.theta, params.soft2, params.G,
             group_size=caps.group_size, group_cap=caps.group_cap,
             max_depth=cfg.max_depth, frontier_cap=caps.frontier_cap,
             approx_cap=caps.approx_cap, leaf_list_cap=caps.leaf_list_cap,
             direct_body_cap=caps.direct_body_cap,
-            group_chunk=cfg.group_chunk)
+            group_chunk=cfg.group_chunk, traversal=local_trav)
 
         # Alive bounding box of this domain; all_gather the P tiny boxes.
         big = jnp.asarray(jnp.finfo(pos.dtype).max, pos.dtype)
