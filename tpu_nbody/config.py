@@ -91,6 +91,11 @@ class SimConfig:
     mesh_chunk: int = 16384        # bodies per band chunk (memory bound)
     mesh_order: int = 2            # mass assignment: 2 = CIC, 1 = NGP (faster,
                                    # ~20x noisier mesh force — see ops/mesh.py)
+    mesh_interlace: bool = False   # average a second half-cell-shifted mesh
+                                   # pass: ~2x mesh cost, measured ~1.9x less
+                                   # Lz random-walk (PERFORMANCE.md momentum
+                                   # notes); combine with mesh_split 8 for
+                                   # ~3.4x total
     mesh_ny: int = 0               # rectangular mesh: world-grid ROWS (same
                                    # cell size; columns stay 2^mesh_level over
                                    # the root quad), vertically centered on

@@ -197,7 +197,8 @@ def make_pm_accel(cfg: SimConfig):
             pos, mass, alive, params.G, params.soft2, origin, side,
             mesh_level=cfg.mesh_level, split_cells=cfg.mesh_split,
             band=cfg.mesh_band, chunk=min(cfg.mesh_chunk, cfg.capacity),
-            order=cfg.mesh_order, rescue_k=cfg.mesh_rescue,
+            order=cfg.mesh_order, interlace=cfg.mesh_interlace,
+            rescue_k=cfg.mesh_rescue,
             rescue_k_hot=cfg.mesh_rescue_hot,
             rescue_hot_cap=cfg.mesh_rescue_hot_cap, mesh_ny=cfg.mesh_ny,
             return_stats=True, kernel=kernel)
@@ -263,6 +264,7 @@ def _make_pm_sorted_step(cfg: SimConfig, merge_heavy_cap: int) -> Callable:
             pos, mass, alive, params.G, params.soft2, origin, side,
             mesh_level=cfg.mesh_level, split_cells=cfg.mesh_split,
             band=cfg.mesh_band, chunk=chunk, order=cfg.mesh_order,
+            interlace=cfg.mesh_interlace,
             rescue_k=cfg.mesh_rescue, rescue_k_hot=cfg.mesh_rescue_hot,
             rescue_hot_cap=cfg.mesh_rescue_hot_cap, mesh_ny=cfg.mesh_ny,
             kernel=kernel)
