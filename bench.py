@@ -2,12 +2,13 @@
 
 Runs the P3M mesh solver by default (kdk_reuse: one force pass per step,
 plus the merge pass) on the two-disk galaxy collision scaled to N total
-bodies, at the BH theta=0.5-equivalent accuracy point the BASELINE metric
-specifies: mesh_level=12 / split=6 / band=512 / rescue_k=12 measures mean
-relative force error 3.16e-4 (p50 8.7e-5, p99 3.0e-3) against the exact
-softened all-pairs force on this exact N=1M scene (BH theta=0.5 on it: mean
-3.6e-4). The theta-exact BH solver is selectable with --solver bh. Prints
-ONE JSON line:
+bodies, at BETTER than the BH theta=0.5-equivalent accuracy point the
+BASELINE metric specifies: mesh_level=12 / CIC-deconvolved kernel / split=3
+/ band=256 / rescue_k=8 measures mean relative force error 1.62e-4 (p50
+7.3e-5, p99 1.3e-3) against the exact softened all-pairs force on this
+exact N=1M scene (BH theta=0.5 on it: mean 3.6e-4 — so ~2.2x tighter).
+The theta-exact BH solver is selectable with --solver bh. Prints ONE JSON
+line:
 
     {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
 
@@ -65,14 +66,15 @@ def main():
             # the rows covers y in [-201, 1001] with margin and halves the
             # padded-grid FFT/deposit/interp work (PERFORMANCE.md)
             mesh_ny=0 if args.small else 2048,
-            mesh_split=4.0 if args.small else 6.0,
-            mesh_band=256 if args.small else 512,
-            # flat rescue k: two-tier (mesh_rescue_hot) measured a NET
-            # accuracy loss at N=1M — 1917 of 2048 blocks need > 4 partners
-            # (the two-disk core is not skew-distributed at band 512), so
-            # the hot tier's cap can't cover them and closest-first flat
-            # k=12 at ~89 Gpairs/s is already pair-math speed-of-light
-            mesh_rescue=4 if args.small else 12,
+            # round-4 point: the CIC-deconvolved kernel (mesh_deconvolve,
+            # on by default) is 2.4x more accurate per cell, so the split
+            # radius drops 6h -> 3h and the band/rescue pair volume with it
+            # (~2.7x): measured mean force error 1.6e-4 / p99 1.3e-3 at
+            # N=1M vs exact (tools/r4_experiments.py deconv) — 2x BETTER
+            # than the BH theta=0.5 point (3.6e-4) the metric names.
+            mesh_split=4.0 if args.small else 3.0,
+            mesh_band=256,
+            mesh_rescue=4 if args.small else 8,
             mesh_chunk=min(16384, cap),
         )
         params = Params.default(theta=args.theta)
@@ -134,7 +136,8 @@ def main():
 
     n_alive = int(eng.state.n_alive())
     updates_per_sec = n_alive * args.steps / dt
-    acc_note = ("force err 3.2e-4 (BH theta=0.5 equiv)" if args.solver == "pm"
+    acc_note = ("force err 1.6e-4 (2.2x better than BH theta=0.5)"
+                if args.solver == "pm"
                 and not args.small else
                 "pm small" if args.solver == "pm"
                 else f"theta={args.theta}" if args.solver == "bh"

@@ -91,6 +91,11 @@ class SimConfig:
     mesh_chunk: int = 16384        # bodies per band chunk (memory bound)
     mesh_order: int = 2            # mass assignment: 2 = CIC, 1 = NGP (faster,
                                    # ~20x noisier mesh force — see ops/mesh.py)
+    mesh_deconvolve: bool = True   # bake the 1/What^2 assignment-window
+                                   # sharpening into the spectral kernel
+                                   # (classic P3M; measured 2.4x lower mean
+                                   # force error at N=1M — ops/mesh.py
+                                   # _assignment_deconv)
     mesh_interlace: bool = False   # average a second half-cell-shifted mesh
                                    # pass: ~2x mesh cost, measured ~1.9x less
                                    # Lz random-walk (PERFORMANCE.md momentum

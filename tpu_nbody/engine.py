@@ -190,7 +190,8 @@ def make_pm_accel(cfg: SimConfig):
         return mesh_lib.kernel_hats_for(
             side, params.soft2, mesh_level=cfg.mesh_level,
             split_cells=cfg.mesh_split, mesh_ny=cfg.mesh_ny,
-            dtype=cfg.jdtype)
+            dtype=cfg.jdtype, order=cfg.mesh_order,
+            deconvolve=cfg.mesh_deconvolve)
 
     def accel(pos, mass, alive, params, kernel=None):
         acc, st = mesh_lib.pm_accel(
@@ -282,7 +283,8 @@ def _make_pm_sorted_step(cfg: SimConfig, merge_heavy_cap: int) -> Callable:
         kernel = mesh_lib.kernel_hats_for(
             side, params.soft2, mesh_level=cfg.mesh_level,
             split_cells=cfg.mesh_split, mesh_ny=cfg.mesh_ny,
-            dtype=cfg.jdtype)
+            dtype=cfg.jdtype, order=cfg.mesh_order,
+            deconvolve=cfg.mesh_deconvolve)
         perm = sort_order(state)
         state = permute(state, perm)
         acc0, need0 = accel_sorted(state.pos, state.mass, state.alive,

@@ -49,7 +49,34 @@ def _hilbert_sort(pos, mass, alive, origin, side):
             alive[order], jnp.argsort(order))
 
 
-def _kernel_hats(grid, h, soft2, a, dtype, grid_y=None):
+def _assignment_deconv(grid, grid_y, order, dtype):
+    """1/Ŵ² on the rfft2 layout: compensation for the mass-assignment window.
+
+    Deposit convolves the density with the assignment window W and force
+    interpolation convolves the force field with W again, so the mesh force
+    between two point masses is (W*W*K)(x_i-x_j) instead of the sampled
+    kernel K — measured as THE dominant mesh error (the round-2/3 sweeps
+    attributed the residual to "CIC quantization of the kernel in the split
+    region r ~ a", which is exactly this smoothing). Dividing the kernel hat
+    by Ŵ(k)² (classic P3M sharpening, Hockney & Eastwood ch. 8) compensates
+    it exactly up to assignment aliasing: measured on the two-disk scene at
+    N=1M it cuts the mean force error 2.4x at a=6h (3.2e-4 -> 1.3e-4) and
+    lets the split radius shrink to a=3h at BETTER-than-before accuracy
+    (1.5e-4), which halves the short-range pair volume (tools/
+    r4_experiments.py). Per-axis window FT at wrapped frequency q̃:
+    sinc(q̃/N)^order (order 2 = CIC, 1 = NGP); amplification is bounded
+    (sinc(1/2)⁻⁸ ≈ 37 at the 2D Nyquist corner for CIC²).
+    """
+    qx = jnp.arange(grid // 2 + 1).astype(dtype)      # rfft half axis
+    wx = jnp.sinc(qx / grid) ** order
+    qy = jnp.arange(grid_y)
+    qyw = jnp.where(qy <= grid_y // 2, qy, qy - grid_y).astype(dtype)
+    wy = jnp.sinc(qyw / grid_y) ** order
+    w2 = (wx[None, :] * wy[:, None]) ** 2
+    return 1.0 / jnp.maximum(w2, jnp.asarray(1e-6, dtype))
+
+
+def _kernel_hats(grid, h, soft2, a, dtype, grid_y=None, deconv_order=0):
     """Spectral kernels for the long-range convolution: (Kx̂, Kŷ, φ̂).
 
     Kx̂/Kŷ are rfft2s of the sampled long-range force kernel. Offsets are
@@ -70,6 +97,10 @@ def _kernel_hats(grid, h, soft2, a, dtype, grid_y=None):
 
     The fit residual is the same O((kh)⁶) order as the FD truncation. Modes where both eigenvalues vanish (DC and Nyquist lines)
     get φ̂ = 0; they carry no usable gradient information.
+
+    ``deconv_order`` > 0 multiplies all three hats by the
+    :func:`_assignment_deconv` compensation for that assignment order
+    (2 = CIC). Must match the deposit/interp scheme actually used.
     """
     gy = grid if grid_y is None else grid_y
     ix = jnp.arange(grid)
@@ -105,13 +136,18 @@ def _kernel_hats(grid, h, soft2, a, dtype, grid_y=None):
     phi_hat = jnp.where(den > 0,
                         -1j * (d6x * kx_hat + d6y * ky_hat) / safe,
                         0.0)
+    if deconv_order:
+        d = _assignment_deconv(grid, gy, deconv_order, dtype)
+        kx_hat, ky_hat, phi_hat = kx_hat * d, ky_hat * d, phi_hat * d
     return kx_hat, ky_hat, phi_hat
 
 
 @functools.partial(jax.jit, static_argnames=("mesh_level", "split_cells",
-                                              "mesh_ny", "dtype"))
+                                              "mesh_ny", "dtype", "order",
+                                              "deconvolve"))
 def kernel_hats_for(root_side, soft2, *, mesh_level: int, split_cells: float,
-                    mesh_ny: int = 0, dtype=jnp.float32):
+                    mesh_ny: int = 0, dtype=jnp.float32, order: int = 2,
+                    deconvolve: bool = True):
     """Precompute the (Kx_hat, Ky_hat, phi_hat) long-range kernel FFTs.
 
     They depend only on static config + per-run-constant ``soft2``, so hoist
@@ -119,7 +155,9 @@ def kernel_hats_for(root_side, soft2, *, mesh_level: int, split_cells: float,
     (~40% of the P3M FFT work at N=1M) become one computation per jitted
     step_n call, carried into ``lax.scan`` as loop constants. Pass the result
     as ``pm_accel(..., kernel=...)``. ``mesh_ny``: rectangular world grid
-    rows (0 = square nw x nw).
+    rows (0 = square nw x nw). ``order``/``deconvolve``: mass-assignment
+    order and whether to bake the Ŵ⁻² sharpening into the hats (see
+    :func:`_assignment_deconv`) — must match the consuming deposit/interp.
     """
     root_side = jnp.asarray(root_side, dtype)
     nw = 1 << mesh_level
@@ -127,7 +165,8 @@ def kernel_hats_for(root_side, soft2, *, mesh_level: int, split_cells: float,
     grid = 2 * nw
     h = root_side / nw
     a = split_cells * h
-    return _kernel_hats(grid, h, soft2, a, dtype, grid_y=2 * ny)
+    return _kernel_hats(grid, h, soft2, a, dtype, grid_y=2 * ny,
+                        deconv_order=order if deconvolve else 0)
 
 
 def _band_short_range(spos, smass, soft2, a, *, band: int, chunk: int):
@@ -167,7 +206,11 @@ def _band_short_range(spos, smass, soft2, a, *, band: int, chunk: int):
         dy = part[:, None, :, 1] - ctr[:, :, None, 1]
         mj = part[:, None, :, 2]
         r2 = dx * dx + dy * dy
-        w = mj * jax.lax.rsqrt(r2 + soft2) / (r2 + soft2)
+        # rsqrt^3 instead of rsqrt/q: the divide is multi-op on the VPU and
+        # the pair passes run at compute speed-of-light (~89 Gpairs/s) —
+        # measured ~10% off the band pass (tools/r4_experiments.py pairops).
+        inv = jax.lax.rsqrt(r2 + soft2)
+        w = mj * (inv * inv * inv)
         w = w * jnp.exp(-((r2 / (a * a)) ** 2))  # (r/a)^4 switch
         return jnp.stack([jnp.sum(w * dx, axis=2),
                           jnp.sum(w * dy, axis=2)], axis=-1)  # (cb, S, 2)
@@ -272,7 +315,8 @@ def _block_rescue(spos, smass, salive, soft2, a, *, band: int, k: int,
         dx = px[:, None, :] - ctr[:, :, None, 0]            # (cb, S, kS)
         dy = py[:, None, :] - ctr[:, :, None, 1]
         r2 = dx * dx + dy * dy
-        w = pm[:, None, :] * jax.lax.rsqrt(r2 + soft2) / (r2 + soft2)
+        inv = jax.lax.rsqrt(r2 + soft2)
+        w = pm[:, None, :] * (inv * inv * inv)
         w = w * jnp.exp(-((r2 / (a * a)) ** 2))
         acc = jnp.stack([jnp.sum(w * dx, axis=2),
                          jnp.sum(w * dy, axis=2)], axis=-1)  # (cb, S, 2)
@@ -315,7 +359,8 @@ def _block_rescue(spos, smass, salive, soft2, a, *, band: int, k: int,
         dx = px[:, None, :] - ctr[:, :, None, 0]              # (H, S, k2*S)
         dy = py[:, None, :] - ctr[:, :, None, 1]
         r2 = dx * dx + dy * dy
-        w = pm[:, None, :] * jax.lax.rsqrt(r2 + soft2) / (r2 + soft2)
+        inv = jax.lax.rsqrt(r2 + soft2)
+        w = pm[:, None, :] * (inv * inv * inv)
         w = w * jnp.exp(-((r2 / (a * a)) ** 2))
         acc2 = jnp.stack([jnp.sum(w * dx, axis=2),
                           jnp.sum(w * dy, axis=2)], axis=-1)  # (H, S, 2)
@@ -540,7 +585,7 @@ def pm_accel_sorted(spos, smass, salive, G, soft2, origin, root_side, *,
                     chunk: int, order: int = 2, interlace: bool = False,
                     rescue_k: int = 0, rescue_k_hot: int = 0,
                     rescue_hot_cap: int = 128, mesh_ny: int = 0,
-                    kernel=None):
+                    deconvolve: bool = True, kernel=None):
     """P3M acceleration in the Hilbert-SORTED frame: (n, 2) -> (n, 2).
 
     The body arrays must already be in Hilbert order over the root quad
@@ -580,7 +625,8 @@ def pm_accel_sorted(spos, smass, salive, G, soft2, origin, root_side, *,
         morigin = origin
 
     if kernel is None:
-        kernel = _kernel_hats(grid, h, soft2, a, dtype, grid_y=2 * ny)
+        kernel = _kernel_hats(grid, h, soft2, a, dtype, grid_y=2 * ny,
+                              deconv_order=order if deconvolve else 0)
     acc_mesh = _mesh_force(spos, smass, morigin, h, nw, grid, soft2, a,
                            order, kernel, ny=ny)
     if interlace:
@@ -607,12 +653,13 @@ def pm_accel_sorted(spos, smass, salive, G, soft2, origin, root_side, *,
                                               "interlace", "rescue_k",
                                               "rescue_k_hot",
                                               "rescue_hot_cap", "mesh_ny",
-                                              "return_stats"))
+                                              "deconvolve", "return_stats"))
 def pm_accel(pos, mass, alive, G, soft2, origin, root_side, *,
              mesh_level: int, split_cells: float, band: int, chunk: int,
              order: int = 2, interlace: bool = False, rescue_k: int = 0,
              rescue_k_hot: int = 0, rescue_hot_cap: int = 128,
-             mesh_ny: int = 0, return_stats: bool = False, kernel=None):
+             mesh_ny: int = 0, deconvolve: bool = True,
+             return_stats: bool = False, kernel=None):
     """P3M acceleration, original body order. (n, 2) -> (n, 2).
 
     mesh_level: world grid is 2^level x 2^level over the root quad; the FFT
@@ -632,6 +679,10 @@ def pm_accel(pos, mass, alive, G, soft2, origin, root_side, *,
     Hilbert band misses across curve discontinuities (see its docstring).
     return_stats: also return a stats dict (``rescue_need``: max partner
     blocks any block required; coverage is exact iff <= rescue_k).
+    deconvolve: bake the Ŵ⁻² assignment-window sharpening into the spectral
+    kernel (see :func:`_assignment_deconv`; measured 2.4x lower mean force
+    error at N=1M). Only consulted when ``kernel`` is None — a precomputed
+    kernel carries its own deconvolution choice.
     kernel: optional precomputed :func:`kernel_hats_for` result; when None
     the kernel FFTs are recomputed per call (fine for one-shot use, wasteful
     inside a step loop).
@@ -643,7 +694,7 @@ def pm_accel(pos, mass, alive, G, soft2, origin, root_side, *,
         mesh_level=mesh_level, split_cells=split_cells, band=band,
         chunk=chunk, order=order, interlace=interlace, rescue_k=rescue_k,
         rescue_k_hot=rescue_k_hot, rescue_hot_cap=rescue_hot_cap,
-        mesh_ny=mesh_ny, kernel=kernel)
+        mesh_ny=mesh_ny, deconvolve=deconvolve, kernel=kernel)
     out = acc[unsort]
     if return_stats:
         return out, {"rescue_need": rescue_need, "rescue_hot": hot_count,

@@ -259,7 +259,8 @@ def _cross_shard_rescue(spos, smass, salive, soft2, a, *, band, k,
         dx = px[:, None, :] - ctr[:, :, None, 0]             # (cb, S, kk*S)
         dy = py[:, None, :] - ctr[:, :, None, 1]
         r2 = dx * dx + dy * dy
-        w = pm[:, None, :] * jax.lax.rsqrt(r2 + soft2) / (r2 + soft2)
+        inv = jax.lax.rsqrt(r2 + soft2)
+        w = pm[:, None, :] * (inv * inv * inv)
         w = w * jnp.exp(-((r2 / (a * a)) ** 2))
         return jnp.stack([jnp.sum(w * dx, axis=2),
                           jnp.sum(w * dy, axis=2)], axis=-1)
@@ -272,7 +273,7 @@ def _cross_shard_rescue(spos, smass, salive, soft2, a, *, band, k,
 def _pm_accel_local(pos, mass, alive, G, soft2, origin, root_side, *,
                     mesh_level, split_cells, band, chunk, rescue_k,
                     axis, n_shards, xrescue_k=0, xrescue_export=0,
-                    kernel=None):
+                    deconvolve=True, kernel=None):
     """P3M acceleration for the local body shard (inside shard_map)."""
     dtype = pos.dtype
     origin = jnp.asarray(origin, dtype)
@@ -290,7 +291,8 @@ def _pm_accel_local(pos, mass, alive, G, soft2, origin, root_side, *,
     base, w = mesh_ops._cic_cells(spos, origin, h, nw, 2)
     rho_local = mesh_ops._deposit_packed(smass, base, w, nw, grid)
     if kernel is None:
-        kernel = mesh_ops._kernel_hats(grid, h, soft2, a, dtype)
+        kernel = mesh_ops._kernel_hats(grid, h, soft2, a, dtype,
+                                       deconv_order=2 if deconvolve else 0)
     phi_slab = _slab_fft_phi(rho_local, kernel[2], axis=axis,
                              n_shards=n_shards, grid=grid)
     fx, fy = _fd_force_window(phi_slab, h, axis=axis, n_shards=n_shards,
@@ -460,7 +462,8 @@ def make_sharded_pm_step(mesh: Mesh, cfg: SimConfig, *,
             chunk=min(cfg.mesh_chunk, cfg.capacity // n_shards),
             rescue_k=cfg.mesh_rescue, axis=axis, n_shards=n_shards,
             xrescue_k=cfg.mesh_xrescue,
-            xrescue_export=xrescue_export, kernel=kernel)
+            xrescue_export=xrescue_export,
+            deconvolve=cfg.mesh_deconvolve, kernel=kernel)
 
     def local_step(state: SimState, params: Params, kernel):
         a, r1 = accel(state.pos, state.mass, state.alive, params, kernel)
@@ -509,7 +512,8 @@ def make_sharded_pm_step(mesh: Mesh, cfg: SimConfig, *,
         # constants, replicated across shards.
         kernel = mesh_ops.kernel_hats_for(
             side, params.soft2, mesh_level=cfg.mesh_level,
-            split_cells=cfg.mesh_split, dtype=cfg.jdtype)
+            split_cells=cfg.mesh_split, dtype=cfg.jdtype,
+            deconvolve=cfg.mesh_deconvolve)
         state, stats = one(state, params, kernel)
         if n_steps == 1:
             return state, stats
