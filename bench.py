@@ -3,12 +3,14 @@
 Runs the P3M mesh solver by default (kdk_reuse: one force pass per step,
 plus the merge pass) on the two-disk galaxy collision scaled to N total
 bodies, at BETTER than the BH theta=0.5-equivalent accuracy point the
-BASELINE metric specifies: mesh_level=12 / CIC-deconvolved kernel / split=3
-/ band=256 / rescue_k=8 measures mean relative force error 1.62e-4 (p50
-7.3e-5, p99 1.3e-3) against the exact softened all-pairs force on this
-exact N=1M scene (BH theta=0.5 on it: mean 3.6e-4 — so ~2.2x tighter).
+BASELINE metric specifies: mesh_level=12 / CIC-deconvolved kernel /
+split=2.5 / band=128 / rescue_k=8 measures mean relative force error
+1.88e-4 (p50 1.0e-4, p99 1.4e-3) against the exact softened all-pairs
+force on this exact N=1M scene (BH theta=0.5 on it: mean 3.6e-4 — ~1.9x
+tighter).
 The theta-exact BH solver is selectable with --solver bh. Prints ONE JSON
-line:
+line plus a per-phase roofline table on stderr (phase ms vs the measured
+backend primitive ceilings + an MFU line — see print_roofline):
 
     {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
 
@@ -26,6 +28,177 @@ import time
 
 BASELINE_UPDATES_PER_SEC = 7.5e5
 
+# Measured backend primitive ceilings (PERFORMANCE.md, TPU v5e via axon):
+SCATTER_ITEMS_PER_S = 85e6       # random scatter-add floor
+GATHER_ROWS_PER_S = 1e8          # packed row gather (1M x 8 lanes = 10 ms)
+PAIR_RATE = 89e9                 # dense pair blocks (band/rescue passes)
+ARGSORT_1M_MS = 6.0              # 1M int32 argsort
+FFT_4096SQ_MS = 13.0             # rfft2 + irfft2 at 4096^2 f32
+MATMUL_PEAK_FLOPS = 25e12        # bf16/f32 matmul speed-of-light
+
+
+def print_roofline(eng, args, step_ms):
+    """Per-phase ms vs the measured primitive ceilings + an MFU line.
+
+    Every phase probe uses the chained-salt discipline this backend
+    requires (vary an input per call, pull one host value at the end —
+    PERFORMANCE.md); ceilings come from the primitive table so each round's
+    claims are checkable against the backend's own speed of light.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from tpu_nbody.ops import mesh as mesh_ops
+
+    cfg = eng.cfg
+    cap = cfg.capacity
+    nw = 1 << cfg.mesh_level
+    ny = cfg.mesh_ny or nw
+    grid, grid_y = 2 * nw, 2 * ny
+    ox, oy = cfg.root_center
+    origin = jnp.asarray((ox - cfg.root_half, oy - cfg.root_half),
+                         jnp.float32)
+    side = jnp.asarray(2.0 * cfg.root_half, jnp.float32)
+    h = side / nw
+    a = cfg.mesh_split * float(h)
+    S, k = cfg.mesh_band, cfg.mesh_rescue
+    K = max(1, cfg.pm_resort_every)
+    st = eng.state
+    spos, smass, salive, _ = mesh_ops._hilbert_sort(
+        st.pos, st.mass, st.alive, origin, side)
+    kernel = mesh_ops.kernel_hats_for(
+        side, jnp.float32(eng.params.soft2), mesh_level=cfg.mesh_level,
+        split_cells=cfg.mesh_split, mesh_ny=cfg.mesh_ny,
+        order=cfg.mesh_order, deconvolve=cfg.mesh_deconvolve)
+    jax.block_until_ready((spos, kernel))
+    n = int(st.n_alive())
+
+    def chained(fn, iters=5):
+        s = jnp.float32(1.000001)
+        s = fn(s)
+        float(s)
+        s = fn(s * 1.000001)
+        float(s)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            s = fn(s * 1.000001)
+        float(s)
+        return (time.perf_counter() - t0) / iters * 1e3
+
+    @jax.jit
+    def ph_sort(s):
+        sp, sm, sa, us = mesh_ops._hilbert_sort(st.pos + s * 1e-6, st.mass,
+                                                st.alive, origin, side)
+        return sp[0, 0] + us[0] + s
+
+    @jax.jit
+    def ph_deposit(s):
+        base, w = mesh_ops._cic_cells(spos + s * 1e-6, origin, h, nw,
+                                      cfg.mesh_order, ny=ny)
+        rho = mesh_ops._deposit_packed(smass, base, w, nw, grid, ny=ny,
+                                       grid_y=grid_y)
+        return rho[0, 0] + jnp.sum(rho[0, :8]) + s
+
+    # NOTE all big arrays are passed as ARGUMENTS, not jit-closure
+    # constants: embedding a 100MB+ (complex) constant in the executable is
+    # UNIMPLEMENTED on this backend's tunnel compiler (probe-bisected; the
+    # same graphs run fine with the arrays as runtime args, which is also
+    # what production does).
+    rho_ex = jnp.zeros((grid_y, grid), jnp.float32)
+
+    @jax.jit
+    def _fft(rho0, ph, s):
+        pw = mesh_ops._conv_potential(rho0 + s * 1e-6, ph, ny, grid, grid_y)
+        return jnp.real(pw[0, 0]) + s
+
+    def ph_fft(s):
+        return _fft(rho_ex, kernel[2], s)
+
+    fwin = (jnp.arange((ny + 1) * (nw + 1), dtype=jnp.float32)
+            .reshape(ny + 1, nw + 1) * 1e-9)
+
+    @jax.jit
+    def _interp(sp, fx0, s):
+        base, w = mesh_ops._cic_cells(sp + s * 1e-6, origin, h, nw,
+                                      cfg.mesh_order, ny=ny)
+        acc = mesh_ops._interp_packed(fx0 + s * 1e-6, fx0, base, w, nw,
+                                      ny=ny)
+        return acc[0, 0] + s
+
+    def ph_interp(s):
+        return _interp(spos, fwin, s)
+
+    @jax.jit
+    def _band(sp, sm, s):
+        acc = mesh_ops._band_short_range(sp + s * 1e-6, sm,
+                                         jnp.float32(1.0), a, band=S,
+                                         chunk=min(cfg.mesh_chunk, cap))
+        return acc[0, 0] + s
+
+    def ph_band(s):
+        return _band(spos, smass, s)
+
+    @jax.jit
+    def _rescue(sp, sm, sa, s):
+        acc2, need, hot = mesh_ops._block_rescue(
+            sp + s * 1e-6, sm, sa, jnp.float32(1.0), a, band=S,
+            k=k, chunk=min(cfg.mesh_chunk, cap))
+        return acc2[0, 0] + need.astype(jnp.float32) * 1e-9 + s
+
+    def ph_rescue(s):
+        return _rescue(spos, smass, salive, s)
+
+    items = cap * (4 if cfg.mesh_order == 2 else 1)
+    band_pairs = cap * 3 * S
+    rescue_pairs = cap * k * S
+    rows = [
+        ("hilbert sort (/%d steps)" % K, ph_sort, 1.0 / K,
+         ARGSORT_1M_MS * cap / (1 << 20) / K, "argsort 1M = 6 ms"),
+        ("deposit (%dx plane scatter)" % (4 if cfg.mesh_order == 2 else 1),
+         ph_deposit, 1.0, items / SCATTER_ITEMS_PER_S * 1e3,
+         "scatter 85M items/s"),
+        ("fft conv (trimmed)", ph_fft, 1.0,
+         FFT_4096SQ_MS * (grid_y * grid) / 4096 ** 2,
+         "rfft2+irfft2 4096^2 = 13 ms, x elems"),
+        ("force interp (8-lane rows)", ph_interp, 1.0,
+         cap / GATHER_ROWS_PER_S * 1e3, "row gather 1e8 rows/s"),
+        ("band short-range", ph_band, 1.0,
+         band_pairs / PAIR_RATE * 1e3, "89 Gpairs/s"),
+        ("block rescue k=%d" % k, ph_rescue, 1.0,
+         rescue_pairs / PAIR_RATE * 1e3, "89 Gpairs/s"),
+    ]
+    print("# per-phase roofline (force-pass probes at the bench config; "
+          "ceilings = measured backend primitives, PERFORMANCE.md):",
+          file=sys.stderr, flush=True)
+    tot = 0.0
+    for name, fn, scale, ceil, basis in rows:
+        try:
+            ms = chained(fn) * scale
+        except Exception as e:  # pragma: no cover - tunnel flakiness
+            print(f"#   {name:30s} probe failed: {str(e)[:120]}",
+                  file=sys.stderr, flush=True)
+            continue
+        tot += ms
+        pct = 100.0 * ceil / ms if ms > 0 else 0.0
+        print(f"#   {name:30s} {ms:7.2f} ms   ceiling {ceil:7.2f} ms "
+              f"({pct:3.0f}% SoL; {basis})", file=sys.stderr, flush=True)
+    print(f"#   {'sum of probes':30s} {tot:7.2f} ms   (step total "
+          f"{step_ms:.2f} ms; rest = integrate+merge+dispatch)",
+          file=sys.stderr)
+    # MFU: useful arithmetic of one step vs the matmul speed of light.
+    pair_flops = 12.0 * (band_pairs + rescue_pairs)
+    m_elems = grid_y * grid
+    import math
+    fft_flops = 2 * 5.0 * m_elems * math.log2(m_elems)  # fwd+inv, trimmed<
+    assign_flops = 30.0 * n
+    useful = pair_flops + fft_flops + assign_flops
+    achieved = useful / (step_ms * 1e-3)
+    print(f"#   MFU: ~{useful:.2e} useful flop/step -> "
+          f"{achieved / 1e12:.3f} Tflop/s = "
+          f"{100.0 * achieved / MATMUL_PEAK_FLOPS:.2f}% of the backend's "
+          f"25 Tflop/s matmul peak (step is scatter/FFT-bound by design)",
+          file=sys.stderr)
+
 
 def main():
     ap = argparse.ArgumentParser()
@@ -36,6 +209,8 @@ def main():
     ap.add_argument("--integrator", default="kdk_reuse")
     ap.add_argument("--small", action="store_true",
                     help="tiny config for CPU smoke runs")
+    ap.add_argument("--no-phases", action="store_true",
+                    help="skip the per-phase roofline table (stderr)")
     args = ap.parse_args()
 
     import jax
@@ -66,14 +241,17 @@ def main():
             # the rows covers y in [-201, 1001] with margin and halves the
             # padded-grid FFT/deposit/interp work (PERFORMANCE.md)
             mesh_ny=0 if args.small else 2048,
-            # round-4 point: the CIC-deconvolved kernel (mesh_deconvolve,
-            # on by default) is 2.4x more accurate per cell, so the split
-            # radius drops 6h -> 3h and the band/rescue pair volume with it
-            # (~2.7x): measured mean force error 1.6e-4 / p99 1.3e-3 at
-            # N=1M vs exact (tools/r4_experiments.py deconv) — 2x BETTER
-            # than the BH theta=0.5 point (3.6e-4) the metric names.
-            mesh_split=4.0 if args.small else 3.0,
-            mesh_band=256,
+            # round-4 point: CIC-deconvolved kernel + split 2.5h + band 128:
+            # measured mean force error 1.88e-4 / p99 1.4e-3 at N=1M vs
+            # exact (tools/r5_experiments.py acc) — 1.9x BETTER than the BH
+            # theta=0.5 point (3.6e-4) the metric names, while the halved
+            # band shrinks the tri-diagonal pair volume 2x (band pass
+            # 32.7 -> 7.5 ms measured at N=1M). NGP deposit (order 1) was
+            # measured DEAD at this level: mean 1.8e-2 plain / 8.9e-3
+            # interlaced, regardless of band/rescue (assignment aliasing,
+            # not coverage) — the r5 sweep results live in PERFORMANCE.md.
+            mesh_split=4.0 if args.small else 2.5,
+            mesh_band=256 if args.small else 128,
             mesh_rescue=4 if args.small else 8,
             mesh_chunk=min(16384, cap),
         )
@@ -136,7 +314,7 @@ def main():
 
     n_alive = int(eng.state.n_alive())
     updates_per_sec = n_alive * args.steps / dt
-    acc_note = ("force err 1.6e-4 (2.2x better than BH theta=0.5)"
+    acc_note = ("force err 1.9e-4 (1.9x better than BH theta=0.5)"
                 if args.solver == "pm"
                 and not args.small else
                 "pm small" if args.solver == "pm"
@@ -154,6 +332,12 @@ def main():
           f"elapsed={dt:.3f}s warmup={warmup_s:.1f}s "
           f"ms/step={1e3 * dt / args.steps:.2f} caps={eng.caps}",
           file=sys.stderr)
+    if args.solver == "pm" and not args.small and not args.no_phases:
+        try:
+            print_roofline(eng, args, 1e3 * dt / args.steps)
+        except Exception as e:  # pragma: no cover - keep the JSON line good
+            print(f"# roofline table failed: {str(e)[:200]}",
+                  file=sys.stderr)
 
 
 if __name__ == "__main__":

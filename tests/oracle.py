@@ -59,7 +59,19 @@ class OracleNode:
             self._subdivide()
         if self.body is not None:
             old, self.body = self.body, None
-            self._child_for(pos[old, 0], pos[old, 1]).insert(old, pos)
+            self._insert_into_child(old, pos)
+        self._insert_into_child(i, pos)
+
+    def _insert_into_child(self, i, pos):
+        # Reference coincident-body nudge (BarnesHutAlg.kt:139-151): below
+        # quad half-size 1e-3, displace the inserted body by +-1e-3 per
+        # axis, sign from the low mantissa bit — MUTATING the positions.
+        if self.h < 1e-3:
+            eps = 1e-3
+            xb = int(np.float64(pos[i, 0]).view(np.int64))
+            yb = int(np.float64(pos[i, 1]).view(np.int64))
+            pos[i, 0] += eps if (xb & 1) == 0 else -eps
+            pos[i, 1] += -eps if (yb & 1) == 0 else eps
         self._child_for(pos[i, 0], pos[i, 1]).insert(i, pos)
 
     def compute_mass(self, pos, mass):

@@ -180,6 +180,104 @@ def test_strict_parity_outside_root():
     assert np.abs(v2).max() > np.abs(v).max()  # physical mode: it pulls
 
 
+def _f32_nudge_signs(x, y):
+    """The reference bit rule (BarnesHutAlg.kt:145-150) on f32 bit patterns:
+    dx = +eps if low mantissa bit of x even else -eps; dy = -eps if even
+    else +eps."""
+    xb = int(np.float32(x).view(np.int32))
+    yb = int(np.float32(y).view(np.int32))
+    return (1.0 if (xb & 1) == 0 else -1.0,
+            -1.0 if (yb & 1) == 0 else 1.0)
+
+
+def test_strict_nudge_rule_and_masking():
+    """strict_parity_nudge displaces exactly the coincident alive in-root
+    bodies, by the reference's mantissa-bit +-1e-3 rule."""
+    from tpu_nbody.ops.tree import strict_parity_nudge
+
+    cfg = SimConfig(capacity=8, **SMALL)
+    ox, oy = cfg.root_center
+    origin = (ox - cfg.root_half, oy - cfg.root_half)
+    side = 2.0 * cfg.root_half
+    # trigger cell side (first quad half < 1e-3)
+    import math
+    d = math.ceil(math.log2(cfg.root_half / 1e-3))
+    s = side / (1 << d)
+
+    base = np.float32(100.0)
+    # place the pair safely inside one trigger cell: snap to a cell center
+    cx = (np.floor((base - origin[0]) / s) + 0.5) * s + origin[0]
+    cy = (np.floor((300.0 - origin[1]) / s) + 0.5) * s + origin[1]
+    b0 = np.array([cx, cy], np.float32)
+    b1 = np.nextafter(b0, np.float32(1e9), dtype=np.float32)  # 1 ulp off
+    pos = np.zeros((8, 2), np.float32)
+    pos[0], pos[1] = b0, b1
+    pos[2] = [600.0, 200.0]        # isolated: untouched
+    pos[3] = [600.0, 200.0]        # dead twin of 2: must not pair with it
+    alive = np.array([1, 1, 1, 0, 0, 0, 0, 0], bool)
+    # same trigger cell (precondition of the scenario)
+    assert np.floor((pos[0] - origin) / s).tolist() \
+        == np.floor((pos[1] - origin) / s).tolist()
+
+    out = np.asarray(strict_parity_nudge(
+        jnp.asarray(pos), jnp.asarray(alive), origin, side, rounds=1))
+    for i in (0, 1):
+        sx, sy = _f32_nudge_signs(pos[i, 0], pos[i, 1])
+        # atol: one f32 ulp of the coordinate (the += rounds in f32)
+        np.testing.assert_allclose(out[i] - pos[i],
+                                   [sx * 1e-3, sy * 1e-3], atol=4e-5)
+    np.testing.assert_array_equal(out[2:], pos[2:])  # spectators untouched
+
+
+def test_oracle_nudge_separates_coincident():
+    """The oracle's insert no longer recurses unboundedly on two bodies in
+    the same sub-1e-3 cell (the reference's epsilon nudge separates them)."""
+    from tests import oracle
+
+    pos = np.array([[100.0, 300.0],
+                    [np.nextafter(100.0, 200.0), 300.0],  # odd f64 bit
+                    [600.0, 200.0]], np.float64)
+    mass = np.array([10.0, 10.0, 10.0])
+    root = oracle.build_oracle_tree(pos, mass, 2400.0, 800.0)
+    # the pair got displaced: nudges have opposite x signs (even vs odd bit)
+    assert abs(pos[0, 0] - pos[1, 0]) > 1e-3
+    # NOTE a nudged body can leave its (sub-2e-3-wide) quad mid-insert, in
+    # which case the reference's contains-check silently drops it from the
+    # tree for that build — so root.mass may exclude a nudged body. The
+    # spectator is always present.
+    assert root.mass >= 10.0
+
+
+def test_strict_parity_nudge_in_engine():
+    """A strict-parity engine step applies the nudge as state mutation; the
+    physical engine does not (G=0 isolates the nudge from dynamics)."""
+    cfg = SimConfig(capacity=64, **SMALL)
+    pos = np.zeros((3, 2), np.float32)
+    pos[0] = [100.0, 300.0]
+    pos[1] = np.nextafter(pos[0], np.float32(1e9), dtype=np.float32)
+    pos[2] = [600.0, 200.0]
+    vel = np.zeros_like(pos)
+    mass = np.full((3,), 10.0, np.float32)
+    p = Params.default(dt=0.001, merge_min_dist=0.0).replace(G=0.0)
+
+    e = Engine(cfg, p, solver="bh", integrator="kdk", strict_parity=True)
+    e.set_bodies(pos, vel, mass)
+    e.step(1)
+    out = np.asarray(e.state.pos)[:3]
+    # pair displaced on the nudge scale, spectator exactly still (G=0)
+    assert np.abs(out[0] - pos[0]).max() >= 9e-4
+    assert np.abs(out[1] - pos[1]).max() >= 9e-4
+    np.testing.assert_array_equal(out[2], pos[2])
+    sx, sy = _f32_nudge_signs(pos[0, 0], pos[0, 1])
+    np.testing.assert_allclose(out[0] - pos[0], [sx * 1e-3, sy * 1e-3],
+                               rtol=1e-3, atol=2e-4)
+
+    e2 = Engine(cfg, p, solver="bh", integrator="kdk", strict_parity=False)
+    e2.set_bodies(pos, vel, mass)
+    e2.step(1)
+    np.testing.assert_array_equal(np.asarray(e2.state.pos)[:3], pos)
+
+
 def test_twin_traversal_guard():
     """Regression guard for the two-traversal worker fault (PERFORMANCE.md):
     a 2-pass kdk + bh step graph at large capacity must be REFUSED up front

@@ -79,6 +79,40 @@ def test_accuracy_vs_allpairs_galaxy():
     assert np.percentile(rel, 99) < 1e-1
 
 
+def test_tsc_order3_accuracy_and_self_force():
+    """TSC (order-3) assignment: at least CIC accuracy on the galaxy scene
+    with the matching sinc^-6 deconvolution, exact zero self-force
+    (symmetric deposit/interp with the odd kernel), and far-pair parity."""
+    n, cap = 2000, 2048
+    p, v, m = scenes.make_galaxy_disk(jax.random.PRNGKey(42), n, r=300.0)
+    pos = jnp.zeros((cap, 2)).at[:n].set(p)
+    mass = jnp.zeros((cap,)).at[:n].set(m)
+    alive = jnp.arange(cap) < n
+    cfg = SimConfig(capacity=cap)
+    origin, side = _origin_side(cfg)
+    ref = forces.accel_allpairs(pos, mass, 80.0, 1.0, implementation="xla")
+    ref = np.asarray(ref * alive[:, None])
+    errs = {}
+    for order in (2, 3):
+        acc = np.asarray(mesh.pm_accel(pos, mass, alive, 80.0, 1.0, origin,
+                                       side, mesh_level=10, split_cells=3.0,
+                                       band=128, chunk=2048, rescue_k=8,
+                                       order=order))
+        rel = (np.linalg.norm(acc - ref, axis=-1)
+               / (np.linalg.norm(ref, axis=-1) + 1e-9))[np.asarray(alive)]
+        errs[order] = rel.mean()
+    assert errs[3] < 1.5 * errs[2], errs  # TSC holds (or beats) CIC accuracy
+
+    # single body: mesh force on it must be ~zero (self-force cancellation)
+    pos1 = jnp.zeros((8, 2)).at[0].set(jnp.asarray([497.3, 403.9]))
+    mass1 = jnp.zeros((8,)).at[0].set(1000.0)
+    alive1 = jnp.arange(8) < 1
+    acc1 = np.asarray(mesh.pm_accel(pos1, mass1, alive1, 80.0, 1.0, origin,
+                                    side, mesh_level=9, split_cells=3.0,
+                                    band=4, chunk=8, order=3))
+    assert np.abs(acc1[0]).max() < 1e-4, acc1[0]
+
+
 def test_accuracy_improves_with_mesh_level():
     n, cap = 1500, 1536
     p, v, m = scenes.make_galaxy_disk(jax.random.PRNGKey(7), n, r=300.0)

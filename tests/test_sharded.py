@@ -258,6 +258,64 @@ def test_device_reshard_matches_host(rng):
         alive_rows(dev), alive_rows(jax.tree.map(np.asarray, state)))
 
 
+def test_sharded_pm_full_features_match_single_device(rng):
+    """Round-4 parity (VERDICT r3 item 4): the sharded P3M with the FULL
+    single-chip feature set — rectangular mesh (mesh_ny), interlacing,
+    kdk_reuse + persistent local sort — must match the single-chip solver
+    per slot (the carried permutation restores slot identity)."""
+    import dataclasses
+
+    from tpu_nbody.config import SimConfig
+    from tpu_nbody.engine import Engine
+    from tpu_nbody.models import scenes
+    from tpu_nbody.parallel.sharded_pm import (make_sharded_pm_step,
+                                               reshard_by_hilbert)
+
+    cap, n = 1024, 900
+    # generous rescue caps (k=16/x16): at small k the shard-local +
+    # cross-shard closest-first rankings legitimately drop different far
+    # boxes than the single-chip global ranking (measured max 0.27 rel on
+    # dense-core bodies at k=4, 1e-4 at k=16) — this test isolates the
+    # round-4 FEATURES (rect mesh, interlace, persistent local sort), not
+    # that documented approximation
+    cfg = SimConfig(capacity=cap, mesh_level=9, mesh_ny=256, mesh_band=32,
+                    mesh_chunk=128, mesh_rescue=16, mesh_xrescue=16,
+                    mesh_xrescue_export=64, mesh_interlace=True,
+                    pm_resort_every=2)
+    p, v, mm = scenes.default_two_disk_scene(jax.random.PRNGKey(1),
+                                             n1=700, n2=200)
+    state = from_arrays(p, v, mm, capacity=cap)
+    params = Params.default(dt=0.002, merge_min_dist=0.0)
+
+    m = mesh_lib.make_mesh()
+    sstate = reshard_by_hilbert(state, m, cfg)
+    step = make_sharded_pm_step(m, cfg, integrator="kdk_reuse")
+    out, stats = step(sstate, params, n_steps=4)
+    assert int(np.asarray(stats.mesh_oob)) == 0
+
+    # single-chip reference: the SAME config through the engine's
+    # persistent-sorted pm path, from the same (resharded) ordering
+    ref_eng = Engine(cfg, params, solver="pm", integrator="kdk_reuse")
+    rs = jax.tree.map(lambda x: jnp.asarray(np.asarray(x)), sstate)
+    ref_eng.state = rs
+    ref_eng.step(4)
+
+    np.testing.assert_allclose(np.asarray(out.pos),
+                               np.asarray(ref_eng.state.pos),
+                               rtol=1e-3, atol=5e-3)
+    np.testing.assert_allclose(np.asarray(out.vel),
+                               np.asarray(ref_eng.state.vel),
+                               rtol=2e-2, atol=5e-2)
+
+    # and the rect mesh must agree with the square mesh (window covers all
+    # bodies): same sharded step at mesh_ny=0
+    cfg_sq = dataclasses.replace(cfg, mesh_ny=0)
+    out_sq, _ = make_sharded_pm_step(m, cfg_sq, integrator="kdk_reuse")(
+        sstate, params, n_steps=4)
+    np.testing.assert_allclose(np.asarray(out.pos), np.asarray(out_sq.pos),
+                               rtol=1e-3, atol=5e-3)
+
+
 def test_graft_entry_dryrun():
     import __graft_entry__ as ge
     fn, args = ge.entry()

@@ -11,7 +11,11 @@ ICs (two-disk N=2000, seed 3, dt=0.005, merge off):
     cancels the leading-order anisotropic assignment aliasing;
   * split radius a: larger a hands more of each pair force to the exactly
     central short-range sum (torque noise ~ mesh share of the pair force);
-  * mesh_level: finer grid shrinks h at fixed a/h.
+  * mesh_level: finer grid shrinks h at fixed a/h;
+  * TSC (order-3) assignment (round 4, VERDICT r3 item 6): smoother window
+    -> higher-order aliasing suppression, the standard next rung of this
+    error family (9 scatter items/body instead of 4 — an accuracy knob,
+    not a throughput one).
 
     python tools/lz_experiments.py --steps 2000
 """
@@ -53,7 +57,7 @@ def main():
 
     ox, oy = base.root_center
 
-    def run(tag, level, split, band, rescue, interlace):
+    def run(tag, level, split, band, rescue, interlace, order=2):
         origin = (ox - base.root_half, oy - base.root_half)
         side = 2.0 * base.root_half
 
@@ -61,7 +65,8 @@ def main():
             acc, _ = mesh_ops.pm_accel(
                 p, mass, alive, G, soft2, origin, side, mesh_level=level,
                 split_cells=split, band=band, chunk=base.mesh_chunk,
-                interlace=interlace, rescue_k=rescue, return_stats=True)
+                interlace=interlace, rescue_k=rescue, order=order,
+                return_stats=True)
             return acc
 
         @jax.jit
@@ -97,6 +102,10 @@ def main():
     run("split a=8h", 11, 8.0, 128, 8, False)
     run("lvl12 a=4h", 12, 4.0, 128, 4, False)
     run("interlace + a=8h", 11, 8.0, 128, 8, True)
+    # round-4 TSC rows (VERDICT r3 item 6)
+    run("tsc lvl11 a=4h", 11, 4.0, 128, 4, False, order=3)
+    run("tsc + interlace", 11, 4.0, 128, 4, True, order=3)
+    run("tsc + a=8h + interlace", 11, 8.0, 128, 8, True, order=3)
 
 
 if __name__ == "__main__":

@@ -29,16 +29,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from tpu_nbody.config import SimConfig
-from tpu_nbody.models import scenes
-from tpu_nbody.ops import forces, mesh as mesh_ops
-
 
 def chained_time(fn, iters: int, label: str):
     s = jnp.float32(1.000001)
     s = fn(s)
     float(s)
     s = fn(s * 1.000001)
+    float(s)  # drain the 2nd warm-up before t0 (advisor: it bled into t0)
     t0 = time.perf_counter()
     for _ in range(iters):
         s = fn(s * 1.000001)
@@ -49,6 +46,11 @@ def chained_time(fn, iters: int, label: str):
 
 
 def make_scene(n):
+    # tpu_nbody imports live here (not module top) so --cpu's platform
+    # switch in main() runs before anything could touch a backend.
+    from tpu_nbody.config import SimConfig
+    from tpu_nbody.models import scenes
+
     cap = 1 << (n - 1).bit_length()
     cfg = SimConfig(capacity=cap)
     ox, oy = cfg.root_center
@@ -65,6 +67,8 @@ def make_scene(n):
 
 
 def exp_acc(args):
+    from tpu_nbody.ops import forces, mesh as mesh_ops
+
     n = args.n
     cfg, origin, side, pos, mass, alive, cap = make_scene(n)
     G, soft2 = 80.0, 1.0
@@ -88,15 +92,19 @@ def exp_acc(args):
                         pos, mass, alive, G, jnp.float32(soft2), origin,
                         side, mesh_level=lvl, split_cells=split, band=band,
                         chunk=16384, rescue_k=resc, mesh_ny=ny, order=order,
-                        kernel=kern))
+                        interlace=args.interlace, kernel=kern))
                     rel = (np.linalg.norm(acc - ref, axis=-1)
                            / (refn + 1e-9))[sel]
-                    print(f"{f'{order}:{split}:{band}:{resc}':>18s} "
+                    tag = f"{order}:{split}:{band}:{resc}" \
+                        + ("i" if args.interlace else "")
+                    print(f"{tag:>18s} "
                           f"{rel.mean():10.2e} {np.median(rel):10.2e} "
                           f"{np.percentile(rel, 99):10.2e}", flush=True)
 
 
 def exp_time(args):
+    from tpu_nbody.ops import mesh as mesh_ops
+
     n = args.n
     cfg, origin, side, pos, mass, alive, cap = make_scene(n)
     spos, smass, salive, _ = mesh_ops._hilbert_sort(pos, mass, alive,
@@ -121,7 +129,10 @@ def exp_time(args):
             return rho[0, 0] + jnp.sum(rho[0, :8]) + s
         return ph
 
-    fwin = jnp.zeros((ny + 1, nw + 1), jnp.float32)
+    # non-constant fill: a constant-zero operand invites XLA simplifications
+    # the production FFT-derived grids don't get (advisor finding)
+    fwin = (jnp.arange((ny + 1) * (nw + 1), dtype=jnp.float32)
+            .reshape(ny + 1, nw + 1) * 1e-9)
 
     def make_interp(order):
         @jax.jit
@@ -179,6 +190,8 @@ def main():
     ap.add_argument("--splits", type=float, nargs="+", default=[3.0])
     ap.add_argument("--bands", type=int, nargs="+", default=[256, 128])
     ap.add_argument("--rescues", type=int, nargs="+", default=[8, 6, 4])
+    ap.add_argument("--interlace", action="store_true",
+                    help="acc: average a half-cell-shifted second mesh pass")
     ap.add_argument("--iters", type=int, default=5)
     args = ap.parse_args()
     if args.cpu:

@@ -109,8 +109,10 @@ class SimConfig:
                                    # ny = nx/2 halves FFT/deposit/interp grid
                                    # work; bodies leaving the window clamp to
                                    # edge rows (counted in the mesh_oob
-                                   # stat). Single-chip pm only — the sharded
-                                   # pm path keeps its square slab grid.
+                                   # stat). Honored by both the single-chip
+                                   # and the sharded pm path (round 4; the
+                                   # slab FFT requires 2*ny divisible by the
+                                   # shard count).
     mesh_rescue: int = 4           # rescue partner blocks per band block
     mesh_rescue_hot: int = 0       # two-tier rescue: total partner blocks
                                    # for HOT blocks (need > mesh_rescue);

@@ -373,6 +373,23 @@ def make_step_fn(cfg: SimConfig, caps: Caps, solver: str, integrator: str,
     else:
         raise ValueError(f"unknown solver {solver!r}")
 
+    # Reference quirk behind strict_parity: the recursive insert NUDGES
+    # near-coincident bodies by +-1e-3 during the tree build, mutating
+    # simulation state (BarnesHutAlg.kt:139-151). Applied here once per
+    # step before the force pass (= the step's first tree build; the
+    # literal 2-pass kdk's second build re-nudging within one step is not
+    # reproduced — the first nudge separates the pair beyond the trigger
+    # cell, making the second a no-op except for pathological stacks).
+    pre_step = None
+    if solver == "bh" and strict_parity:
+        ox, oy = cfg.root_center
+        p_origin = (ox - cfg.root_half, oy - cfg.root_half)
+        p_side = 2.0 * cfg.root_half
+
+        def pre_step(state):
+            return state._replace(pos=tree_lib.strict_parity_nudge(
+                state.pos, state.alive, p_origin, p_side))
+
     stats_holder = []
     prepare = getattr(accel_stats, "prepare", None)
     # Set per step_n trace (before any accel call); inside the scan the
@@ -399,6 +416,8 @@ def make_step_fn(cfg: SimConfig, caps: Caps, solver: str, integrator: str,
 
         def one_step(state, params):
             del stats_holder[:]
+            if pre_step is not None:
+                state = pre_step(state)
             state = int_step(state, params, accel)
             trav, resc, hot, oob = _split_aux(
                 functools.reduce(max_stats, stats_holder, None))
@@ -429,6 +448,10 @@ def make_step_fn(cfg: SimConfig, caps: Caps, solver: str, integrator: str,
 
         def one_step(state, acc, params):
             del stats_holder[:]
+            if pre_step is not None:
+                # carried acc is for the un-nudged positions; the nudge only
+                # moves coincident bodies by 1e-3 so the mismatch is O(eps)
+                state = pre_step(state)
             state, acc = integrate.kdk_reuse_step(state, acc, params, accel)
             trav, resc, hot, oob = _split_aux(
                 functools.reduce(max_stats, stats_holder, None))

@@ -377,10 +377,16 @@ def _cic_cells(spos, origin, h, nw, order, ny=None):
 
     order 2 (CIC): weights (n, 4) for offsets [(0,0), (+x,0), (0,+y),
     (+x,+y)] in cell-center coordinates. order 1 (NGP): weights (n, 1) for
-    the containing cell. The base is clipped to [0, n-1] per axis (nw
-    columns, ``ny`` or nw rows); the +1 offsets deliberately reach
-    row/column ``n`` (the first padded row/col of the FFT domain), which
-    is physically correct for bodies within h of the world's high edge.
+    the containing cell. order 3 (TSC, triangular-shaped cloud): weights
+    (n, 9) for the 3x3 window around the containing cell, base = its LOW
+    corner; per-axis weights at offset distance d from the containing
+    cell's center: [(0.5-d)^2/2, 0.75-d^2, (0.5+d)^2/2] (Hockney &
+    Eastwood ch. 5 — the next assignment order above CIC, continuous
+    first derivative). The base is clipped to [0, n-1] per axis (nw
+    columns, ``ny`` or nw rows); positive offsets deliberately reach
+    row/column n (n+1 for TSC) — the first padded rows/cols of the FFT
+    domain — which is physically correct for bodies within ~h of the
+    world's high edge.
     """
     dtype = spos.dtype
     ny = nw if ny is None else ny
@@ -389,6 +395,22 @@ def _cic_cells(spos, origin, h, nw, order, ny=None):
         cx = jnp.clip(jnp.floor(scaled[:, 0]).astype(jnp.int32), 0, nw - 1)
         cy = jnp.clip(jnp.floor(scaled[:, 1]).astype(jnp.int32), 0, ny - 1)
         return cy * nw + cx, jnp.ones((spos.shape[0], 1), dtype)
+    if order == 3:
+        c = jnp.floor(scaled).astype(jnp.int32)       # containing cell
+        d = (scaled - c.astype(dtype)) - 0.5          # in [-0.5, 0.5)
+        bx = jnp.clip(c[:, 0] - 1, 0, nw - 1)
+        by = jnp.clip(c[:, 1] - 1, 0, ny - 1)
+
+        def w3(di):
+            return jnp.stack([0.5 * (0.5 - di) ** 2,
+                              0.75 - di * di,
+                              0.5 * (0.5 + di) ** 2], axis=1)   # (n, 3)
+
+        wx = w3(d[:, 0])
+        wy = w3(d[:, 1])
+        # offset order k = 3*oy + ox, matching _deposit_packed/_interp_packed
+        w9 = (wy[:, :, None] * wx[:, None, :]).reshape(-1, 9)
+        return by * nw + bx, w9
     u = scaled - 0.5                   # in cell-CENTER coordinates
     b = jnp.floor(u).astype(jnp.int32)
     frac = u - b.astype(dtype)         # in [0, 1)
@@ -488,6 +510,10 @@ def _deposit_packed(smass, base, w, nw, grid, run_compress: bool = False,
                   .reshape(ny, nw) for k in range(K)]
     if K == 1:
         world = jnp.pad(planes[0], ((0, 1), (0, 1)))
+    elif K == 9:
+        # TSC: 3x3 offsets from the base (low corner), canvas (ny+2, nw+2)
+        world = sum(jnp.pad(planes[3 * oy + ox], ((oy, 2 - oy), (ox, 2 - ox)))
+                    for oy in range(3) for ox in range(3))
     else:
         world = (jnp.pad(planes[0], ((0, 1), (0, 1)))
                  + jnp.pad(planes[1], ((0, 1), (1, 0)))
@@ -513,6 +539,14 @@ def _interp_packed(fx, fy, base, w, nw, ny=None):
         F = jnp.stack([sl(fx, 0, 0), sl(fy, 0, 0)], axis=-1)
         rows = F.reshape(ny * nw, 2)[base]
         return rows * w[:, 0:1]
+    if K == 9:
+        # TSC: one 18-lane row per body (9 cells x 2 components)
+        F = jnp.stack([s for oy in range(3) for ox in range(3)
+                       for s in (sl(fx, oy, ox), sl(fy, oy, ox))], axis=-1)
+        rows = F.reshape(ny * nw, 18)[base]         # (n, 18) single gather
+        ax = sum(w[:, k] * rows[:, 2 * k] for k in range(9))
+        ay = sum(w[:, k] * rows[:, 2 * k + 1] for k in range(9))
+        return jnp.stack([ax, ay], axis=-1)
     F = jnp.stack([sl(fx, 0, 0), sl(fy, 0, 0), sl(fx, 0, 1), sl(fy, 0, 1),
                    sl(fx, 1, 0), sl(fy, 1, 0), sl(fx, 1, 1), sl(fy, 1, 1)],
                   axis=-1)
@@ -522,6 +556,27 @@ def _interp_packed(fx, fy, base, w, nw, ny=None):
     ay = (w[:, 0] * rows[:, 1] + w[:, 1] * rows[:, 3]
           + w[:, 2] * rows[:, 5] + w[:, 3] * rows[:, 7])
     return jnp.stack([ax, ay], axis=-1)
+
+
+def _conv_potential(rho, phi_hat, ny, grid, grid_y, extra=0):
+    """Trimmed FFT convolution: deposited grid -> potential FD window.
+
+    Measured bit-exact vs full rfft2/irfft2 (tools/r3_experiments.py): the
+    deposit occupies only rows 0..ny+1 of the doubled padded grid (0..ny+2
+    for TSC), so the forward row-rffts run on those rows only; and only phi
+    rows -3..ny+3+extra (the FD window incl. the wrapped stencil taps) are
+    needed, so the inverse row-irfft runs on ny+7+extra of the 2*ny rows.
+    The column transforms must stay full (every output row mixes all row
+    wavenumbers). ``extra``: widen the window by this many high rows (1 for
+    TSC interpolation's longer reach). Returns the (ny+7+extra, grid)
+    potential rows -3..ny+3+extra.
+    """
+    occ = ny + 2 + extra
+    rh = jnp.fft.rfft(rho[:occ], axis=1)
+    rh = jnp.pad(rh, ((0, grid_y - occ), (0, 0)))
+    sp = jnp.fft.ifft(jnp.fft.fft(rh, axis=0) * phi_hat, axis=0)
+    rows = jnp.concatenate([sp[-3:], sp[:ny + 4 + extra]])
+    return jnp.fft.irfft(rows, n=grid, axis=1)
 
 
 def _mesh_force(spos, smass, origin, h, nw, grid, soft2, a, order, kernel,
@@ -538,22 +593,11 @@ def _mesh_force(spos, smass, origin, h, nw, grid, soft2, a, order, kernel,
     """
     ny = nw if ny is None else ny
     grid_y = grid if ny == nw else 2 * ny
+    reach = 1 if order == 3 else 0  # TSC reads one more row/col of (fx, fy)
     base, w = _cic_cells(spos, origin, h, nw, order, ny=ny)
     rho = _deposit_packed(smass, base, w, nw, grid, ny=ny, grid_y=grid_y)
     _, _, phi_hat = kernel
-    # Trimmed transforms (measured bit-exact vs rfft2/irfft2,
-    # tools/r3_experiments.py): the deposit occupies only rows/cols
-    # 0..ny+1 of the doubled padded grid, so the forward row-rffts run on
-    # those ny+2 rows only; and only phi rows -3..ny+3 (the FD window
-    # incl. the wrapped stencil taps) are needed, so the inverse row-irfft
-    # runs on ny+7 of the 2*ny rows. The column transforms must stay full
-    # (every output row mixes all row wavenumbers).
-    occ = ny + 2
-    rh = jnp.fft.rfft(rho[:occ], axis=1)
-    rh = jnp.pad(rh, ((0, grid_y - occ), (0, 0)))
-    sp = jnp.fft.ifft(jnp.fft.fft(rh, axis=0) * phi_hat, axis=0)
-    rows = jnp.concatenate([sp[-3:], sp[:ny + 4]])        # rows -3..ny+3
-    pw = jnp.fft.irfft(rows, n=grid, axis=1)              # (ny+7, grid)
+    pw = _conv_potential(rho, phi_hat, ny, grid, grid_y, extra=reach)
     # 6th-order FD gradient, evaluated only on the interpolation window
     # (cells 0..nw in x, 0..ny in y). The stencil reaches [-3, n+3] per
     # axis; the three negative taps wrap to the far padded edge
@@ -564,13 +608,13 @@ def _mesh_force(spos, smass, origin, h, nw, grid, soft2, a, order, kernel,
     # — O(h*M/L^2) after differencing — and negligible next to the mesh
     # error, but boundary cells are not exact (zero-pad phi by 3 rows/cols
     # if that ever matters).
-    win = nw + 7
+    win = nw + 7 + reach
     pw = jnp.roll(pw, 3, axis=1)[:, :win]
     c1 = 45.0 / (60.0 * h)
     c2 = 9.0 / (60.0 * h)
     c3 = 1.0 / (60.0 * h)
-    mx = nw + 1
-    my = ny + 1
+    mx = nw + 1 + reach
+    my = ny + 1 + reach
     fx = (c1 * (pw[3:3 + my, 4:4 + mx] - pw[3:3 + my, 2:2 + mx])
           - c2 * (pw[3:3 + my, 5:5 + mx] - pw[3:3 + my, 1:1 + mx])
           + c3 * (pw[3:3 + my, 6:6 + mx] - pw[3:3 + my, 0:0 + mx]))

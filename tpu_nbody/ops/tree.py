@@ -44,6 +44,7 @@ half-side max(W, H)/2 + 2 (``BarnesHutAlg.kt:359-362``).
 from __future__ import annotations
 
 import functools
+import math
 from typing import NamedTuple
 
 import jax
@@ -284,6 +285,70 @@ def build_tree(pos, mass_exert, alive, origin, root_side, *, num_nodes: int,
                 smass=smass, sidx=order.astype(jnp.int32),
                 unsort=unsort.astype(jnp.int32), n_alive=n_alive,
                 origin=origin, root_side=root_side)
+
+
+def strict_parity_nudge(pos, alive, origin, root_side, *, rounds: int = 3):
+    """Reference coincident-body epsilon nudge, as a masked position update.
+
+    The reference's recursive insert, once the recursion reaches a quad with
+    half-size ``h < 1e-3`` (only possible when >= 2 bodies collide all the
+    way down to that depth), displaces the body being inserted by +-1e-3 per
+    axis, sign decided by the LOW MANTISSA BIT of each coordinate — MUTATING
+    simulation state during the tree build
+    (``src/main/kotlin/BarnesHutAlg.kt:139-151``). TPU-native equivalent:
+    bodies that share the first-``h < 1e-3``-level cell with another alive
+    in-root body get the same deterministic displacement, applied as one
+    masked vector update (the bit test uses the position dtype's own bit
+    pattern — f32 here vs the reference's f64 Double.toBits).
+
+    ``rounds``: the reference re-nudges on every deeper level while bodies
+    keep colliding (each nudge changes the mantissa, so near-coincident
+    bodies eventually diverge); each round here recomputes coincidence and
+    bits after the previous displacement. Bodies with EXACTLY identical
+    coordinates never separate (identical bits => identical nudges) — in the
+    reference that case recurses without bound, so there is no finite
+    behavior to match.
+
+    Coincidence detection is sort-based (two stable argsorts give
+    lexicographic (cellx, celly) order; equal adjacent cells mark both
+    neighbors) — no scatters, dead/out-of-root bodies excluded exactly like
+    the reference's out-of-root insert no-op (``BarnesHutAlg.kt:126``).
+    """
+    dtype = pos.dtype
+    # first depth d with quad half-size root_half / 2^d < 1e-3; the quad's
+    # cell side there is root_side / 2^d (in (1e-3, 2e-3]). root_side must
+    # be a static Python number (it is config-derived everywhere).
+    side_f = float(root_side)
+    d = max(0, math.ceil(math.log2(0.5 * side_f / 1e-3)))
+    origin = jnp.asarray(origin, dtype)
+    root_side = jnp.asarray(side_f, dtype)
+    s = root_side / (1 << d)
+    itype = jnp.int32 if dtype == jnp.float32 else jnp.int64
+    eps = jnp.asarray(1e-3, dtype)
+
+    for _ in range(rounds):
+        inside = ((pos[:, 0] >= origin[0]) & (pos[:, 0] < origin[0] + root_side)
+                  & (pos[:, 1] >= origin[1]) & (pos[:, 1] < origin[1] + root_side))
+        ok = alive & inside
+        q = jnp.floor((pos - origin) / s).astype(jnp.int32)
+        q = jnp.where(ok[:, None], q, -1 - jnp.arange(
+            pos.shape[0], dtype=jnp.int32)[:, None])  # unique cells for dead
+        o1 = jnp.argsort(q[:, 1], stable=True)
+        o2 = jnp.argsort(q[o1, 0], stable=True)
+        order = o1[o2]
+        qs = q[order]
+        same = jnp.all(qs[1:] == qs[:-1], axis=1)
+        pad = jnp.zeros((1,), bool)
+        coinc_sorted = (jnp.concatenate([same, pad])
+                        | jnp.concatenate([pad, same]))
+        coinc = coinc_sorted[jnp.argsort(order)] & ok
+        bx = jax.lax.bitcast_convert_type(pos[:, 0], itype)
+        by = jax.lax.bitcast_convert_type(pos[:, 1], itype)
+        dx = jnp.where((bx & 1) == 0, eps, -eps)
+        dy = jnp.where((by & 1) == 0, -eps, eps)
+        pos = pos + jnp.where(coinc[:, None],
+                              jnp.stack([dx, dy], axis=-1), 0.0)
+    return pos
 
 
 def debug_boxes(tree: Tree):

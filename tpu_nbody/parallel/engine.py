@@ -138,6 +138,7 @@ class ShardedEngine(Engine):
             self.last_rescue_need = int(np.asarray(aux.rescue_need))
             self.last_xport_need = int(np.asarray(aux.xport_need))
             self.last_ximport_need = int(np.asarray(aux.ximport_need))
+            self.last_mesh_oob = int(np.asarray(aux.mesh_oob))
             if (self.cfg.mesh_xrescue > 0
                     and self.last_xport_need > self.xrescue_export):
                 self.xrescue_export = _next_pow2(2 * self.last_xport_need)

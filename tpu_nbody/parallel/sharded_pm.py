@@ -58,57 +58,85 @@ class PmShardStats(NamedTuple):
     rescue_need: jax.Array
     xport_need: jax.Array
     ximport_need: jax.Array
+    mesh_oob: jax.Array
 
 
-def _slab_fft_phi(rho_local, phi_hat, *, axis, n_shards, grid):
-    """Distributed potential solve: slab-decomposed 2D FFT convolution.
+def _win_rows(ny: int, n_shards: int) -> int:
+    """Padded row count of the distributed φ FD window (rows -3..ny+3)."""
+    return -(-(ny + 7) // n_shards) * n_shards
+
+
+def _slab_fft_phi(rho_local, phi_hat, *, axis, n_shards, grid, grid_y, ny):
+    """Distributed potential solve: TRIMMED slab-decomposed FFT convolution.
 
     Round-1 computed the full padded-grid FFT redundantly on every chip;
-    this is the round-2 slab decomposition (VERDICT item 8): per-chip FFT
-    work drops P-fold.
+    round-2 slab-decomposed it (per-chip FFT work drops P-fold); this
+    round-4 version adds the single-chip trims (ops/mesh.py
+    ``_conv_potential``) and the rectangular grid: the deposit occupies
+    only rows 0..ny+1 of the (grid_y, grid) padded grid, so only those
+    rows are reduce-scattered and row-rfft'ed; and only φ rows -3..ny+3
+    (the FD window incl. wrapped stencil taps) are needed, so the return
+    transpose and row-irfft run on those ny+7 rows only. The column
+    transforms stay full (every output row mixes all row wavenumbers).
 
-    rho_local: this chip's PARTIAL density (grid, grid) (sum over chips =
+    rho_local: this chip's PARTIAL density (grid_y, grid) (sum over chips =
     the global grid). Steps, all inside shard_map:
 
-    1. reduce-scatter rows: each chip gets its summed row slab
-       (grid/P, grid) — cheaper than the old full psum.
-    2. rfft along rows (local).
-    3. all_to_all transpose to column slabs (grid, hwp/P), where hwp pads
-       the rfft half-spectrum width grid/2+1 to a multiple of P.
-    4. complex FFT along columns (local), multiply by this chip's column
+    1. reduce-scatter the occupied rows: each chip gets its summed row slab
+       (occ_p/P, grid).
+    2. rfft along rows (local), all_to_all transpose to column slabs,
+       zero-pad rows back to grid_y.
+    3. complex FFT along columns (local), multiply by this chip's column
        slice of the potential kernel phî, inverse FFT along columns.
-    5. all_to_all back to row slabs, irfft along rows -> φ row slab
-       (grid/P, grid).
+    4. slice the FD-window rows (-3..ny+3), all_to_all back to row slabs,
+       irfft along rows -> φ window slab (win_p/P, grid) where
+       win_p = :func:`_win_rows`. Row r of the GLOBAL window is padded-grid
+       row r-3 (rows 0-2 are the wrapped tail rows grid_y-3..grid_y-1).
     """
     P_ = n_shards
     hw = grid // 2 + 1
     hwp = -(-hw // P_) * P_
     me = jax.lax.axis_index(axis)
+    occ_p = min(-(-(ny + 2) // P_) * P_, grid_y)
+    win = ny + 7
+    win_p = _win_rows(ny, P_)
 
-    slab = jax.lax.psum_scatter(rho_local, axis, scatter_dimension=0,
-                                tiled=True)                 # (grid/P, grid)
-    rh = jnp.fft.rfft(slab, axis=1)                          # (grid/P, hw)
+    slab = jax.lax.psum_scatter(rho_local[:occ_p], axis,
+                                scatter_dimension=0,
+                                tiled=True)                  # (occ_p/P, grid)
+    rh = jnp.fft.rfft(slab, axis=1)                          # (occ_p/P, hw)
     rh = jnp.pad(rh, ((0, 0), (0, hwp - hw)))
     cols = jax.lax.all_to_all(rh, axis, split_axis=1, concat_axis=0,
-                              tiled=True)                    # (grid, hwp/P)
+                              tiled=True)                    # (occ_p, hwp/P)
+    cols = jnp.pad(cols, ((0, grid_y - occ_p), (0, 0)))
     ch = jnp.fft.fft(cols, axis=0)
     ph = jnp.pad(phi_hat, ((0, 0), (0, hwp - hw)))
-    ph = jax.lax.dynamic_slice(ph, (0, me * (hwp // P_)), (grid, hwp // P_))
+    ph = jax.lax.dynamic_slice(ph, (0, me * (hwp // P_)),
+                               (grid_y, hwp // P_))
     ch = jnp.fft.ifft(ch * ph, axis=0)
-    back = jax.lax.all_to_all(ch, axis, split_axis=0, concat_axis=1,
-                              tiled=True)                    # (grid/P, hwp)
-    return jnp.fft.irfft(back[:, :hw], n=grid, axis=1)       # (grid/P, grid)
+    rows = jnp.concatenate([ch[-3:], ch[:ny + 4]])           # rows -3..ny+3
+    rows = jnp.pad(rows, ((0, win_p - win), (0, 0)))
+    back = jax.lax.all_to_all(rows, axis, split_axis=0, concat_axis=1,
+                              tiled=True)                    # (win_p/P, hwp)
+    return jnp.fft.irfft(back[:, :hw], n=grid, axis=1)       # (win_p/P, grid)
 
 
-def _fd_force_window(phi_slab, h, *, axis, n_shards, nw, grid):
-    """6th-order FD gradient of the distributed φ, gathered on the world
-    window (nw+1, nw+1) every chip's interpolation needs.
+def _fd_force_window(phi_slab, h, *, axis, n_shards, nw, ny):
+    """6th-order FD gradient of the distributed φ window, gathered on the
+    world window (ny+1, nw+1) every chip's interpolation needs.
 
-    The column taps are local (full rows); the ±3 row taps come from ring
-    neighbors via ppermute (the ring wrap reproduces the single-chip
-    ``jnp.roll`` semantics exactly: row -1 is the padded grid's last row).
+    ``phi_slab``: this chip's (win_p/P, grid) slab of the φ FD window
+    (global window row r = padded-grid row r-3; see :func:`_slab_fft_phi`).
+    The column taps are local rolls (wrap = padded-grid wrap, same as the
+    single-chip trimmed path); the ±3 row taps come from slab ring
+    neighbors via ppermute. Ring-wrap/padding garbage only ever reaches
+    outputs at window rows < 3 or > ny+3, all of which the final world
+    slice discards — the kept rows' taps are true window rows by
+    construction (the window already contains the ±3 wrapped stencil
+    rows). Requires win_p/P >= 3 (single-hop halos).
     """
-    rows_local = grid // n_shards
+    rows_local = phi_slab.shape[0]
+    assert rows_local >= 3, "need >= 3 window rows per shard"
     fwd = [(i, (i + 1) % n_shards) for i in range(n_shards)]
     bwd = [(i, (i - 1) % n_shards) for i in range(n_shards)]
     halo_up = jax.lax.ppermute(phi_slab[-3:], axis, fwd)     # rows -3..-1
@@ -118,7 +146,6 @@ def _fd_force_window(phi_slab, h, *, axis, n_shards, nw, grid):
     c1 = 45.0 / (60.0 * h)
     c2 = 9.0 / (60.0 * h)
     c3 = 1.0 / (60.0 * h)
-    # columns: local rolls (wrap = padded-grid wrap, same as single-chip)
     m = nw + 1
     core = ext[3:3 + rows_local]
     sh = lambda k: jnp.roll(core, -k, axis=1)[:, :m]
@@ -127,10 +154,10 @@ def _fd_force_window(phi_slab, h, *, axis, n_shards, nw, grid):
     dy = lambda k: ext[3 + k:3 + k + rows_local, :m]
     fy = (c1 * (dy(1) - dy(-1)) - c2 * (dy(2) - dy(-2))
           + c3 * (dy(3) - dy(-3)))
-    # gather world rows 0..nw on every chip
-    fx_full = jax.lax.all_gather(fx, axis, tiled=True)       # (grid, m)
+    # gather the window rows, then keep world rows 0..ny (window rows 3..)
+    fx_full = jax.lax.all_gather(fx, axis, tiled=True)       # (win_p, m)
     fy_full = jax.lax.all_gather(fy, axis, tiled=True)
-    return fx_full[:m], fy_full[:m]
+    return fx_full[3:4 + ny], fy_full[3:4 + ny]              # (ny+1, m)
 
 
 def _block_bboxes(spos, smass, salive, band):
@@ -270,34 +297,71 @@ def _cross_shard_rescue(spos, smass, salive, soft2, a, *, band, k,
             export_need.astype(jnp.int32), import_need.astype(jnp.int32))
 
 
-def _pm_accel_local(pos, mass, alive, G, soft2, origin, root_side, *,
-                    mesh_level, split_cells, band, chunk, rescue_k,
-                    axis, n_shards, xrescue_k=0, xrescue_export=0,
-                    deconvolve=True, kernel=None):
-    """P3M acceleration for the local body shard (inside shard_map)."""
-    dtype = pos.dtype
+def _pm_accel_local_sorted(spos, smass, salive, G, soft2, origin, root_side,
+                           *, mesh_level, split_cells, band, chunk, rescue_k,
+                           axis, n_shards, order=2, interlace=False,
+                           mesh_ny=0, xrescue_k=0, xrescue_export=0,
+                           deconvolve=True, kernel=None):
+    """P3M acceleration for a locally Hilbert-SORTED shard (inside shard_map).
+
+    Feature parity with the single-chip :func:`tpu_nbody.ops.mesh.
+    pm_accel_sorted` (VERDICT r3 item 4): rectangular mesh (``mesh_ny``),
+    assignment ``order``, ``interlace``, trimmed slab-decomposed FFTs, and
+    a sorted-frame contract so the step loop can keep state sorted across
+    steps instead of re-sorting per force pass. The body arrays must be in
+    LOCAL Hilbert order (the device reshard leaves them globally sorted,
+    which is stronger); the returned acceleration is in the same order.
+    Returns ``(acc, (rescue_need, xport_need, ximport_need, mesh_oob))``.
+    """
+    if order == 3:
+        raise NotImplementedError(
+            "TSC (mesh_order=3) is single-chip only for now: the sharded "
+            "FD window/interp tables are sized for the CIC reach. Use "
+            "order 2 on the sharded path (TSC is an Lz-accuracy knob, not "
+            "a throughput one — PERFORMANCE.md momentum table).")
+    dtype = spos.dtype
     origin = jnp.asarray(origin, dtype)
     root_side = jnp.asarray(root_side, dtype)
     nw = 1 << mesh_level
+    ny = mesh_ny or nw
     grid = 2 * nw
+    grid_y = 2 * ny
     h = root_side / nw
     a = split_cells * h
+    smass = jnp.where(salive, smass, 0.0)
+    mesh_oob = jnp.int32(0)
+    if ny != nw:
+        # rect mesh: rows vertically centered on the root center (same
+        # window as single-chip pm_accel_sorted; bodies outside clamp to
+        # edge rows and are counted)
+        oy = origin[1] + 0.5 * root_side - 0.5 * ny * h
+        morigin = jnp.stack([origin[0], oy])
+        sy = (spos[:, 1] - oy) / h
+        mesh_oob = jnp.sum(salive & ((sy < 0.0) | (sy >= ny))
+                           ).astype(jnp.int32)
+    else:
+        morigin = origin
 
-    spos, smass, salive, unsort = mesh_ops._hilbert_sort(
-        pos, mass, alive, origin, root_side)
-
-    # ---- local CIC deposit (independent planes), distributed FFT solve,
-    #      local packed interpolation (same scheme as ops/mesh.py) ----
-    base, w = mesh_ops._cic_cells(spos, origin, h, nw, 2)
-    rho_local = mesh_ops._deposit_packed(smass, base, w, nw, grid)
     if kernel is None:
         kernel = mesh_ops._kernel_hats(grid, h, soft2, a, dtype,
-                                       deconv_order=2 if deconvolve else 0)
-    phi_slab = _slab_fft_phi(rho_local, kernel[2], axis=axis,
-                             n_shards=n_shards, grid=grid)
-    fx, fy = _fd_force_window(phi_slab, h, axis=axis, n_shards=n_shards,
-                              nw=nw, grid=grid)
-    acc_mesh = mesh_ops._interp_packed(fx, fy, base, w, nw)
+                                       grid_y=grid_y,
+                                       deconv_order=order if deconvolve
+                                       else 0)
+
+    def mesh_pass(mo):
+        base, w = mesh_ops._cic_cells(spos, mo, h, nw, order, ny=ny)
+        rho_local = mesh_ops._deposit_packed(smass, base, w, nw, grid,
+                                             ny=ny, grid_y=grid_y)
+        phi_slab = _slab_fft_phi(rho_local, kernel[2], axis=axis,
+                                 n_shards=n_shards, grid=grid,
+                                 grid_y=grid_y, ny=ny)
+        fx, fy = _fd_force_window(phi_slab, h, axis=axis,
+                                  n_shards=n_shards, nw=nw, ny=ny)
+        return mesh_ops._interp_packed(fx, fy, base, w, nw, ny=ny)
+
+    acc_mesh = mesh_pass(morigin)
+    if interlace:
+        acc_mesh = 0.5 * (acc_mesh + mesh_pass(morigin - 0.5 * h))
 
     # ---- short-range band with ring halo exchange ----
     S = band
@@ -314,7 +378,8 @@ def _pm_accel_local(pos, mass, alive, G, soft2, origin, root_side, *,
     halo_right = jnp.where(me == n_shards - 1, 0.0, 1.0) * halo_right
     ext = jnp.concatenate([halo_left, fields, halo_right])
     acc_short = mesh_ops._band_short_range(
-        ext[:, :2], ext[:, 2], soft2, a, band=S, chunk=chunk)[S:S + pos.shape[0]]
+        ext[:, :2], ext[:, 2], soft2, a, band=S,
+        chunk=chunk)[S:S + spos.shape[0]]
     rescue_need = jnp.int32(0)
     xport_need = jnp.int32(0)
     ximp_need = jnp.int32(0)
@@ -336,7 +401,7 @@ def _pm_accel_local(pos, mass, alive, G, soft2, origin, root_side, *,
         acc_short = acc_short + acc_x
 
     acc = (acc_mesh + acc_short) * salive[:, None].astype(dtype)
-    return (G * acc)[unsort], (rescue_need, xport_need, ximp_need)
+    return G * acc, (rescue_need, xport_need, ximp_need, mesh_oob)
 
 
 def reshard_by_hilbert(state: SimState, mesh: Mesh, cfg: SimConfig,
@@ -444,6 +509,14 @@ def make_sharded_pm_step(mesh: Mesh, cfg: SimConfig, *,
                          xrescue_export: int | None = None):
     """Jitted multi-chip P3M step(state, params, n_steps) on ``mesh``.
 
+    The state is stepped in LOCAL Hilbert order: each step (or, with
+    ``integrator="kdk_reuse"``, each ``cfg.pm_resort_every``-th step)
+    locally re-sorts the shard, mirroring the single-chip persistent-sort
+    optimization. A composed local permutation is carried through the call
+    and inverted once at the end, so externally visible slot identity is
+    unchanged across one ``step_n`` call (exactly like
+    ``engine._make_pm_sorted_step``).
+
     ``xrescue_export`` overrides ``cfg.mesh_xrescue_export`` (the engine
     auto-grows it on ``xport_need`` overflow, like the heavy cap).
     """
@@ -453,25 +526,53 @@ def make_sharded_pm_step(mesh: Mesh, cfg: SimConfig, *,
     ox, oy = cfg.root_center
     origin = (ox - cfg.root_half, oy - cfg.root_half)
     side = 2.0 * cfg.root_half
+    K = max(1, cfg.pm_resort_every)
 
-    def accel(pos, mass, alive, params, kernel):
-        return _pm_accel_local(
-            pos, jnp.where(alive, mass, 0.0), alive, params.G, params.soft2,
+    def accel_sorted(pos, mass, alive, params, kernel):
+        return _pm_accel_local_sorted(
+            pos, mass, alive, params.G, params.soft2,
             origin, side, mesh_level=cfg.mesh_level,
             split_cells=cfg.mesh_split, band=cfg.mesh_band,
             chunk=min(cfg.mesh_chunk, cfg.capacity // n_shards),
             rescue_k=cfg.mesh_rescue, axis=axis, n_shards=n_shards,
-            xrescue_k=cfg.mesh_xrescue,
+            order=cfg.mesh_order, interlace=cfg.mesh_interlace,
+            mesh_ny=cfg.mesh_ny, xrescue_k=cfg.mesh_xrescue,
             xrescue_export=xrescue_export,
             deconvolve=cfg.mesh_deconvolve, kernel=kernel)
 
-    def local_step(state: SimState, params: Params, kernel):
-        a, r1 = accel(state.pos, state.mass, state.alive, params, kernel)
+    def sort_local(state: SimState, perm):
+        codes = morton.hilbert_codes(state.pos,
+                                     jnp.asarray(origin, state.pos.dtype),
+                                     jnp.asarray(side, state.pos.dtype),
+                                     state.alive)
+        o = jnp.argsort(codes, stable=True)
+        return state._replace(
+            pos=state.pos[o], vel=state.vel[o],
+            mass=jnp.where(state.alive[o], state.mass[o], 0.0),
+            alive=state.alive[o]), perm[o]
+
+    def unsort_local(state: SimState, perm):
+        o = jnp.argsort(perm)
+        return state._replace(pos=state.pos[o], vel=state.vel[o],
+                              mass=state.mass[o], alive=state.alive[o])
+
+    def stats_of(heavy, rsc):
+        # pmax so the replicated out_spec is honest (heavy already is).
+        return PmShardStats(heavy, *(jax.lax.pmax(v, axis) for v in rsc))
+
+    def local_step(state: SimState, perm, params: Params, kernel):
+        state, perm = sort_local(state, perm)
+        a, r1 = accel_sorted(state.pos, state.mass, state.alive, params,
+                             kernel)
         half = params.dt * 0.5
         if integrator == "kdk":
             vel = state.vel + a * half
             pos = state.pos + vel * params.dt
-            a2, r2 = accel(pos, state.mass, state.alive, params, kernel)
+            # 2nd pass keeps the step-start sort order (bodies move by
+            # v*dt << band block extent; same approximation the persistent
+            # sort makes across K steps)
+            a2, r2 = accel_sorted(pos, state.mass, state.alive, params,
+                                  kernel)
             vel = vel + a2 * half
             rsc = jax.tree.map(jnp.maximum, r1, r2)
         elif integrator == "euler":
@@ -484,9 +585,43 @@ def make_sharded_pm_step(mesh: Mesh, cfg: SimConfig, *,
         state, heavy = _merge_sharded(state, params, axis=axis,
                                       n_shards=n_shards,
                                       heavy_cap_local=heavy_cap_local)
-        # pmax so the replicated out_spec is honest (heavy already is).
-        rsc = tuple(jax.lax.pmax(v, axis) for v in rsc)
-        return state, PmShardStats(heavy, *rsc)
+        return state, perm, stats_of(heavy, rsc)
+
+    # kdk_reuse: one force pass per step + persistent local sort (the
+    # sharded mirror of engine._make_pm_sorted_step)
+    def local_seed(state: SimState, perm, params: Params, kernel):
+        state, perm = sort_local(state, perm)
+        acc0, rsc = accel_sorted(state.pos, state.mass, state.alive,
+                                 params, kernel)
+        return state, perm, acc0, stats_of(jnp.int32(0), rsc)
+
+    def local_one_reuse(state: SimState, perm, acc, i, params, kernel):
+        half = params.dt * 0.5
+        vel = state.vel + acc * half
+        pos = state.pos + vel * params.dt
+        a2, rsc = accel_sorted(pos, state.mass, state.alive, params,
+                               kernel)
+        vel = vel + a2 * half
+        state = state._replace(pos=pos, vel=vel, step=state.step + 1)
+        state, heavy = _merge_sharded(state, params, axis=axis,
+                                      n_shards=n_shards,
+                                      heavy_cap_local=heavy_cap_local)
+
+        # resort every K steps: permute state, perm, AND the carried acc
+        def do_resort(st, p_, a_):
+            codes = morton.hilbert_codes(st.pos,
+                                         jnp.asarray(origin, st.pos.dtype),
+                                         jnp.asarray(side, st.pos.dtype),
+                                         st.alive)
+            o = jnp.argsort(codes, stable=True)
+            return (st._replace(pos=st.pos[o], vel=st.vel[o],
+                                mass=st.mass[o], alive=st.alive[o]),
+                    p_[o], a_[o])
+
+        state, perm, a2 = jax.lax.cond(
+            (i + 1) % K == 0, do_resort, lambda st, p_, a_: (st, p_, a_),
+            state, perm, a2)
+        return state, perm, a2, stats_of(heavy, rsc)
 
     sharded = P(axis)
     sharded2 = P(axis, None)
@@ -494,37 +629,70 @@ def make_sharded_pm_step(mesh: Mesh, cfg: SimConfig, *,
                            alive=sharded, step=P())
     param_specs = jax.tree.map(lambda _: P(), Params.default())
 
-    stat_specs = PmShardStats(P(), P(), P(), P())
+    stat_specs = PmShardStats(P(), P(), P(), P(), P())
+    kern_specs = (P(), P(), P())
 
-    def one(state, params, kernel):
-        return jax.shard_map(
-            local_step, mesh=mesh,
-            in_specs=(state_specs, param_specs, (P(), P(), P())),
-            out_specs=(state_specs, stat_specs),
-            check_vma=False,
-        )(state, params, kernel)
+    def smap(fn, in_specs, out_specs):
+        return jax.shard_map(fn, mesh=mesh, in_specs=in_specs,
+                             out_specs=out_specs, check_vma=False)
+
+    def make_kernel(params):
+        # Long-range kernel FFTs hoisted out of the step loop (they depend
+        # only on static config + soft2); inside the scan they are loop
+        # constants, replicated across shards.
+        return mesh_ops.kernel_hats_for(
+            side, params.soft2, mesh_level=cfg.mesh_level,
+            split_cells=cfg.mesh_split, mesh_ny=cfg.mesh_ny,
+            dtype=cfg.jdtype, order=cfg.mesh_order,
+            deconvolve=cfg.mesh_deconvolve)
+
+    unsort = smap(unsort_local, (state_specs, sharded), state_specs)
+
+    if integrator == "kdk_reuse":
+        seed = smap(local_seed,
+                    (state_specs, sharded, param_specs, kern_specs),
+                    (state_specs, sharded, sharded2, stat_specs))
+        one_reuse = smap(local_one_reuse,
+                         (state_specs, sharded, sharded2, P(), param_specs,
+                          kern_specs),
+                         (state_specs, sharded, sharded2, stat_specs))
+
+        @functools.partial(jax.jit, static_argnames=("n_steps",))
+        def step_n(state: SimState, params: Params, n_steps: int = 1):
+            """Returns (state, PmShardStats) — max over the executed steps."""
+            kernel = make_kernel(params)
+            perm = jnp.arange(cfg.capacity, dtype=jnp.int32)
+            state, perm, acc, stats = seed(state, perm, params, kernel)
+
+            def body(carry, i):
+                s, p, a, st = carry
+                s, p, a, st2 = one_reuse(s, p, a, i, params, kernel)
+                return (s, p, a, jax.tree.map(jnp.maximum, st, st2)), None
+
+            (state, perm, _, stats), _ = jax.lax.scan(
+                body, (state, perm, acc, stats), jnp.arange(n_steps))
+            return unsort(state, perm), stats
+
+        return step_n
+
+    one = smap(local_step,
+               (state_specs, sharded, param_specs, kern_specs),
+               (state_specs, sharded, stat_specs))
 
     @functools.partial(jax.jit, static_argnames=("n_steps",))
     def step_n(state: SimState, params: Params, n_steps: int = 1):
         """Returns (state, PmShardStats) — max over the executed steps."""
-        # Long-range kernel FFTs hoisted out of the step loop (they depend
-        # only on static config + soft2); inside the scan they are loop
-        # constants, replicated across shards.
-        kernel = mesh_ops.kernel_hats_for(
-            side, params.soft2, mesh_level=cfg.mesh_level,
-            split_cells=cfg.mesh_split, dtype=cfg.jdtype,
-            deconvolve=cfg.mesh_deconvolve)
-        state, stats = one(state, params, kernel)
-        if n_steps == 1:
-            return state, stats
+        kernel = make_kernel(params)
+        perm = jnp.arange(cfg.capacity, dtype=jnp.int32)
+        state, perm, stats = one(state, perm, params, kernel)
+        if n_steps > 1:
+            def body(carry, _):
+                s, p, st = carry
+                s, p, st2 = one(s, p, params, kernel)
+                return (s, p, jax.tree.map(jnp.maximum, st, st2)), None
 
-        def body(carry, _):
-            s, st = carry
-            s, st2 = one(s, params, kernel)
-            return (s, jax.tree.map(jnp.maximum, st, st2)), None
-
-        (state, stats), _ = jax.lax.scan(body, (state, stats), None,
-                                         length=n_steps - 1)
-        return state, stats
+            (state, perm, stats), _ = jax.lax.scan(
+                body, (state, perm, stats), None, length=n_steps - 1)
+        return unsort(state, perm), stats
 
     return step_n
