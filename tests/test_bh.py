@@ -123,6 +123,58 @@ def test_dense_traversal_equals_bfs(theta):
         assert int(getattr(st_d, f)) == int(getattr(st_b, f)), f
 
 
+@pytest.mark.parametrize("theta", [0.3, 0.7])
+def test_hier_traversal_equals_dense(theta):
+    """The chunk-hierarchical traversal must produce the SAME interaction
+    sets as the dense classification (same local monotone-MAC tests; the
+    refinement only prunes nodes whose parent passes for the whole chunk
+    box, which by box-monotonicity can never be accepted or taken direct
+    by a member group). Forces differ only by f32 summation order — the
+    hier path evaluates masked-dense pair blocks instead of compacted
+    lists — so equality is checked to tight relative tolerance, and the
+    shared need stats must agree exactly."""
+    pos, mass, alive = _galaxy(1500, 1536)
+    acc_d, st_d = _bh_accel(pos, mass, alive, theta, traversal="dense")
+    acc_h, st_h = _bh_accel(pos, mass, alive, theta, traversal="hier")
+    d = np.asarray(acc_d)
+    h = np.asarray(acc_h)
+    scale = np.abs(d).max()
+    np.testing.assert_allclose(h, d, atol=2e-5 * scale)
+    # direct bodies: hier counts per final chunk (a superset union of its
+    # member groups' lists), so it must be >= the dense per-group max
+    assert int(st_h.direct_need) >= int(st_d.direct_need)
+    assert int(st_h.group_size_need) == int(st_d.group_size_need)
+    assert st_h.cand_need is not None and int(st_h.cand_need.max()) > 0
+
+
+def test_hier_cand_overflow_is_reported():
+    """Undersized per-level candidate caps must flip overflowed() via
+    cand_need so the engine retune loop can grow them."""
+    pos, mass, alive = _galaxy(1500, 1536)
+    cfg = C.SimConfig(capacity=1536)
+    origin = (cfg.root_center[0] - cfg.root_half,
+              cfg.root_center[1] - cfg.root_half)
+    t = tree_lib.build_tree(pos, mass, alive, origin, 2 * cfg.root_half,
+                            num_nodes=cfg.num_nodes, leaf_size=8,
+                            max_depth=MAX_DEPTH)
+    _, stats = traverse.bh_accel_from_tree(
+        t, jnp.float32(0.3), jnp.float32(1.0), jnp.float32(80.0),
+        group_size=64, group_cap=512, max_depth=MAX_DEPTH,
+        frontier_cap=1024, approx_cap=2048, leaf_list_cap=512,
+        direct_body_cap=4096, group_chunk=16, traversal="hier",
+        hier_sizes=(64, 8), cand_caps=(16, 16))
+    assert bool(stats.overflowed({
+        "approx_cap": 2048, "leaf_list_cap": 512, "direct_body_cap": 4096,
+        "frontier_cap": 1024, "group_cap": 512,
+        "num_nodes": cfg.num_nodes, "group_size": 64,
+        "cand_caps": (16, 16)}))
+    assert not bool(stats.overflowed({
+        "approx_cap": 2048, "leaf_list_cap": 512, "direct_body_cap": 4096,
+        "frontier_cap": 1024, "group_cap": 512,
+        "num_nodes": cfg.num_nodes, "group_size": 64,
+        "cand_caps": (100000, 100000)}))
+
+
 def test_overflow_is_reported():
     pos, mass, alive = _galaxy(1000, 1024)
     _, stats = _bh_accel(pos, mass, alive, 0.3,

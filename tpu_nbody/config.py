@@ -80,10 +80,24 @@ class SimConfig:
     bh_traversal: str = "auto"     # "dense" = local monotone-MAC classify
                                    # (no BFS — see ops/traverse.py), "bfs" =
                                    # wave traversal (cross-check path),
-                                   # "auto" = dense below
-                                   # BH_DENSE_MAX_CAP capacity (dense is
-                                   # O(groups x nodes): 3x faster at
-                                   # N=100k, quadratically worse at N=1M)
+                                   # "hier" = chunk-hierarchical candidate
+                                   # refinement + masked-dense evaluation
+                                   # (the large-N fast path), "auto" =
+                                   # dense below BH_DENSE_MAX_CAP capacity
+                                   # (dense is O(groups x nodes)), hier
+                                   # above
+    bh_hier_sizes: tuple = (1024, 64, 8)   # hier: groups per chunk at each
+                                   # refinement level (descending, each
+                                   # divides the previous; levels >= the
+                                   # group count are skipped)
+    bh_hier_cand_caps: tuple = (65536, 16384, 4096)  # hier: per-chunk
+                                   # candidate-list cap per level (engine
+                                   # retunes on overflow like the other
+                                   # traversal caps)
+    bh_hier_batch: int = 32        # hier: chunks per lax.map batch in the
+                                   # partner-flatten stage (memory bound:
+                                   # the (batch, leaf_cap, direct_cap)
+                                   # membership matmul operand)
     # P3M ("pm") solver knobs.
     mesh_level: int = 11           # world grid = 2^level per side over the root
     mesh_split: float = 4.0        # short/long split radius in cell units

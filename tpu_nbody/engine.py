@@ -72,12 +72,15 @@ class Caps:
     group_cap: int
     num_nodes: int
     group_size: int
+    # hier traversal: per-chunk candidate caps per refinement level
+    # (ops/traverse.py _hier_lists); retuned elementwise like the others.
+    cand_caps: tuple = (65536, 16384, 4096)
 
     @classmethod
     def from_config(cls, cfg: SimConfig) -> "Caps":
         return cls(cfg.approx_cap, cfg.leaf_list_cap, cfg.direct_body_cap,
                    cfg.frontier_cap, cfg.num_groups, cfg.num_nodes,
-                   cfg.group_size)
+                   cfg.group_size, tuple(cfg.bh_hier_cand_caps))
 
     def as_dict(self):
         return dataclasses.asdict(self)
@@ -99,7 +102,16 @@ class Caps:
                             _next_pow2(int(stats.group_size_need)))
                         if int(stats.group_size_need) > self.group_size
                         else self.group_size),
+            cand_caps=self._cand_caps_grown(stats),
         )
+
+    def _cand_caps_grown(self, stats) -> tuple:
+        if stats.cand_need is None:
+            return self.cand_caps
+        need = [int(x) for x in stats.cand_need]
+        return tuple(
+            max(c, _next_pow2(2 * n)) if i < len(need) and (n := need[i]) > c
+            else c for i, c in enumerate(self.cand_caps))
 
     def tightened(self, stats: traverse.TraversalStats) -> "Caps":
         """Caps shrunk toward observed need (~1.5x headroom, pow2).
@@ -128,7 +140,11 @@ class Caps:
             frontier_cap=shrink(self.frontier_cap, stats.frontier_need),
             group_cap=shrink(self.group_cap, stats.group_need),
             num_nodes=shrink(self.num_nodes, stats.node_need, floor=1024),
-            group_size=self.group_size)
+            group_size=self.group_size,
+            cand_caps=(self.cand_caps if stats.cand_need is None else
+                       tuple(shrink(c, stats.cand_need[i], floor=256)
+                             if i < stats.cand_need.shape[0] else c
+                             for i, c in enumerate(self.cand_caps))))
 
 
 # bh_traversal="auto" switchover: the dense monotone-MAC classification is
@@ -139,7 +155,7 @@ BH_DENSE_MAX_CAP = 1 << 18
 
 def _resolve_traversal(cfg: SimConfig) -> str:
     if cfg.bh_traversal == "auto":
-        return "dense" if cfg.capacity <= BH_DENSE_MAX_CAP else "bfs"
+        return "dense" if cfg.capacity <= BH_DENSE_MAX_CAP else "hier"
     return cfg.bh_traversal
 
 
@@ -168,7 +184,9 @@ def make_bh_accel(cfg: SimConfig, caps: Caps, strict_parity: bool = False):
             max_depth=cfg.max_depth, frontier_cap=caps.frontier_cap,
             approx_cap=caps.approx_cap, leaf_list_cap=caps.leaf_list_cap,
             direct_body_cap=caps.direct_body_cap,
-            group_chunk=cfg.group_chunk, traversal=traversal)
+            group_chunk=cfg.group_chunk, traversal=traversal,
+            hier_sizes=tuple(cfg.bh_hier_sizes),
+            cand_caps=caps.cand_caps, hier_batch=cfg.bh_hier_batch)
 
     return accel
 

@@ -68,15 +68,25 @@ class TraversalStats(NamedTuple):
                                 # bigger than group_size can't join any group
                                 # and its bodies would get zero force, so
                                 # coverage requires group_size >= this
+    # hier traversal only: (n_levels,) max per-chunk candidate-set size at
+    # each refinement level; None for the dense/bfs traversals.
+    cand_need: jax.Array | None = None
 
     def overflowed(self, caps) -> jax.Array:
-        return ((self.approx_need > caps["approx_cap"])
-                | (self.leaf_need > caps["leaf_list_cap"])
-                | (self.direct_need > caps["direct_body_cap"])
-                | (self.frontier_need > caps["frontier_cap"])
-                | (self.group_need > caps["group_cap"])
-                | (self.node_need > caps["num_nodes"])
-                | (self.group_size_need > caps["group_size"]))
+        out = ((self.approx_need > caps["approx_cap"])
+               | (self.leaf_need > caps["leaf_list_cap"])
+               | (self.direct_need > caps["direct_body_cap"])
+               | (self.frontier_need > caps["frontier_cap"])
+               | (self.group_need > caps["group_cap"])
+               | (self.node_need > caps["num_nodes"])
+               | (self.group_size_need > caps["group_size"]))
+        cc = caps.get("cand_caps") if hasattr(caps, "get") else None
+        if cc is not None and self.cand_need is not None:
+            n = min(len(cc), int(self.cand_need.shape[0]))
+            if n:
+                out = out | jnp.any(self.cand_need[:n]
+                                    > jnp.asarray(cc[:n], jnp.int32))
+        return out
 
 
 def make_groups(tree: Tree, group_size: int, group_cap: int):
@@ -309,6 +319,273 @@ def _direct_partners_all(tree: Tree, leaves, l_len, *, direct_body_cap,
     return jnp.where(valid, slots, 0), valid, total
 
 
+def _box_pass_cols(bmn, bmx, cx, cy, side, theta2, soft2):
+    """Conservative group-MAC pass, broadcast form.
+
+    ``bmn``/``bmx`` are (..., 2) box corners; ``cx``/``cy``/``side`` are
+    (..., K) cell geometry with broadcast-compatible leading dims. Same
+    criterion as :func:`_box_pass` (softening inside the distance, gap > 0
+    keeps touching cells open).
+    """
+    half = 0.5 * side
+    gapx = jnp.maximum(0.0, jnp.maximum((cx - half) - bmx[..., 0:1],
+                                        bmn[..., 0:1] - (cx + half)))
+    gapy = jnp.maximum(0.0, jnp.maximum((cy - half) - bmx[..., 1:2],
+                                        bmn[..., 1:2] - (cy + half)))
+    d2 = gapx * gapx + gapy * gapy
+    return (side * side < theta2 * (d2 + soft2)) & (d2 > 0)
+
+
+def _hier_lists(tree: Tree, gmin, gmax, theta2, soft2, *, g_pad: int,
+                sizes, kcaps):
+    """Multi-level chunk candidate refinement (the hier traversal's core).
+
+    The conservative group MAC is monotone in the BOX as well as down the
+    tree: shrinking the query box can only grow the box-to-cell gap, so
+    ``pass(chunk) => pass(any sub-box)``. Contrapositively, a node can be
+    *accepted* by some group g (``pass_g(n) & ~pass_g(parent)``) or taken
+    *direct* (``~pass_g(n)``) only if ``~pass_c(parent(n))`` for EVERY
+    enclosing chunk box c — i.e. only candidates
+
+        cand_c = { n occupied : n is root  or  ~pass_c(parent(n)) }
+
+    can matter to any group inside c. The refinement runs this rule at a
+    cascade of chunk granularities (``sizes`` groups per chunk, descending,
+    each dividing the previous), compacting the per-chunk candidate set at
+    each level — so no compaction ever runs over the full node table times
+    the full group count (the dense classification's O(G x NC) sort, which
+    is what sinks it at N=1M), and no per-wave appends happen at group
+    granularity (the BFS path's scatter floor). Returns the FINAL level's
+    candidate ids/rows/validity, chunk count, and per-level exact needs.
+    """
+    rows_all = tree.node_rows
+    NC = rows_all.shape[0]
+    node_occ = (jnp.arange(NC, dtype=jnp.int32) < tree.n_nodes) \
+        & (rows_all[:, 0] > 0)
+
+    ids = valid = None
+    C_prev = 1
+    needs = []
+    for li, (sz, kcap) in enumerate(zip(sizes, kcaps)):
+        C = g_pad // sz
+        bmn = jnp.min(gmin.reshape(C, sz, 2), axis=1)
+        bmx = jnp.max(gmax.reshape(C, sz, 2), axis=1)
+        if ids is None:
+            # vs the full node table; row-chunked to bound the mask
+            batch = max(1, min(C, (1 << 25) // NC))
+            masks = []
+            for c0 in range(0, C, batch):
+                b0, b1 = bmn[c0:c0 + batch], bmx[c0:c0 + batch]
+                pp = _box_pass_cols(b0, b1, rows_all[None, :, 10],
+                                    rows_all[None, :, 11],
+                                    rows_all[None, :, 12], theta2, soft2)
+                masks.append(node_occ[None, :]
+                             & ((rows_all[None, :, 13] == 0.0) | ~pp))
+            m = jnp.concatenate(masks, axis=0)                # (C, NC)
+            idx, length, total = _compact_rows(m, kcap, use_topk=True)
+            ids = idx
+        else:
+            r = C // C_prev
+            crows = rows_all[jnp.where(valid, ids, 0)]        # (Cp, Kp, 14)
+            occ = valid & (crows[..., 0] > 0)
+            pp = _box_pass_cols(bmn.reshape(C_prev, r, 2),
+                                bmx.reshape(C_prev, r, 2),
+                                crows[..., 10][:, None, :],
+                                crows[..., 11][:, None, :],
+                                crows[..., 12][:, None, :], theta2, soft2)
+            m = occ[:, None, :] & ((crows[..., 13] == 0.0)[:, None, :]
+                                   | ~pp)                     # (Cp, r, Kp)
+            idx, length, total = _compact_rows(
+                m.reshape(C, ids.shape[1]), kcap, use_topk=True)
+            ids = jnp.take_along_axis(jnp.repeat(ids, r, axis=0), idx,
+                                      axis=1)
+        valid = jnp.arange(kcap, dtype=jnp.int32)[None, :] < length[:, None]
+        needs.append(jnp.max(total))
+        C_prev = C
+
+    crows = rows_all[jnp.where(valid, ids, 0)]                # (C, K, 14)
+    return crows, valid, C_prev, needs
+
+
+def _hier_accel(tree: Tree, gstart, gcount, gvalid, gmin, gmax, theta2,
+                soft2, *, group_size: int, hier_sizes, cand_caps,
+                leaf_list_cap: int, direct_body_cap: int, hier_batch: int,
+                debug_stage: str = "full"):
+    """Masked-dense BH force evaluation over hierarchical chunk candidates.
+
+    Per final-level chunk (``hier_sizes[-1]`` adjacent groups) the member
+    groups SHARE one candidate list; per-group accept/direct decisions are
+    dense masks over it (``accept = pass_g(n) & ~pass_g(parent)``,
+    ``direct = leaf & ~pass_g(n)`` — the same local monotone-MAC tests as
+    :func:`_classify_dense`, so the interaction SETS are identical), and
+    the force evaluation consumes the masks as per-group WEIGHTS on dense
+    (group_size x K) pair blocks — dense pair math is the one primitive
+    this backend runs at speed-of-light, and it replaces the per-group
+    list compaction (a huge sort) entirely. Direct leaves are compacted
+    once per CHUNK; their body ranges flatten through the dense
+    interval-membership trick, and the per-(group, partner-slot) weights
+    come from one batched matmul against the (one-hot) membership matrix.
+
+    Returns (acc_rows (G, group_size, 2), needs dict).
+    """
+    cap, _ = tree.spos.shape
+    G = gvalid.shape[0]
+    NC = tree.node_rows.shape[0]
+    GS = group_size
+    LC, DB = leaf_list_cap, direct_body_cap
+
+    # Effective refinement levels: strictly descending sizes below G, with
+    # per-level candidate caps clipped to the node table. ``lvl_map`` keeps
+    # the configured index of each effective level so the reported needs
+    # line up with the configured cand_caps for retuning.
+    sizes, kcaps, lvl_map = [], [], []
+    for i, (s, c) in enumerate(zip(hier_sizes, cand_caps)):
+        if s < G and (not sizes or (s < sizes[-1] and sizes[-1] % s == 0)):
+            sizes.append(int(s))
+            kcaps.append(min(int(c), NC))
+            lvl_map.append(i)
+    if not sizes:
+        sizes = [G]
+        kcaps = [min(int(cand_caps[-1]), NC)]
+        lvl_map = [len(hier_sizes) - 1]
+    CH = sizes[-1]
+    g_pad = -(-G // sizes[0]) * sizes[0]
+
+    def padg(x, fill):
+        if g_pad == G:
+            return x
+        return jnp.concatenate(
+            [x, jnp.full((g_pad - G,) + x.shape[1:], fill, x.dtype)])
+
+    big = jnp.asarray(jnp.finfo(gmin.dtype).max, gmin.dtype)
+    gminp = padg(gmin, big)
+    gmaxp = padg(gmax, -big)
+    gvp = padg(gvalid, False)
+    gsp = padg(gstart, cap)
+    gcp = padg(gcount, 0)
+
+    crows, cvalid, C, lvl_needs = _hier_lists(
+        tree, gminp, gmaxp, theta2, soft2, g_pad=g_pad, sizes=sizes,
+        kcaps=kcaps)
+    K = crows.shape[1]
+    occ = cvalid & (crows[..., 0] > 0)                        # (C, K)
+
+    # ---- per-group accept weights over the shared candidates ----
+    bmn = gminp.reshape(C, CH, 2)
+    bmx = gmaxp.reshape(C, CH, 2)
+    gv = gvp.reshape(C, CH)
+    pn = _box_pass_cols(bmn, bmx, crows[..., 3][:, None, :],
+                        crows[..., 4][:, None, :],
+                        crows[..., 5][:, None, :], theta2, soft2)
+    pp = _box_pass_cols(bmn, bmx, crows[..., 10][:, None, :],
+                        crows[..., 11][:, None, :],
+                        crows[..., 12][:, None, :], theta2, soft2) \
+        & (crows[..., 13] != 0.0)[:, None, :]
+    accept = occ[:, None, :] & gv[..., None] & pn & ~pp       # (C, CH, K)
+    wapx = jnp.where(accept, crows[..., 0][:, None, :], 0.0)
+
+    # ---- chunk-level direct leaf list + flattened body partners ----
+    is_leaf = crows[..., 6] < 0
+    cmn = jnp.min(bmn, axis=1)
+    cmx = jnp.max(bmx, axis=1)
+    pcn = _box_pass_cols(cmn, cmx, crows[..., 3], crows[..., 4],
+                         crows[..., 5], theta2, soft2)        # (C, K)
+    dleaf = occ & is_leaf & ~pcn
+    lidx, llen, ltot = _compact_rows(dleaf, LC, use_topk=True)
+    lrows = jnp.take_along_axis(crows, lidx[..., None], axis=1)
+    lvalid = jnp.arange(LC, dtype=jnp.int32)[None, :] < llen[:, None]
+    lstart = lrows[..., 8].astype(jnp.int32)
+    lcount = jnp.where(lvalid, lrows[..., 9].astype(jnp.int32), 0)
+    offs = jnp.cumsum(lcount, axis=1)
+    d_tot = offs[:, -1]
+    # per-(group, leaf) direct mask, recomputed on the compacted leaf rows
+    pnl = _box_pass_cols(bmn, bmx, lrows[..., 3][:, None, :],
+                         lrows[..., 4][:, None, :],
+                         lrows[..., 5][:, None, :], theta2, soft2)
+    dmask = (lvalid & (lrows[..., 0] > 0))[:, None, :] & gv[..., None] \
+        & ~pnl                                                # (C, CH, LC)
+
+    if debug_stage == "classify":
+        probe = (jnp.sum(wapx) + jnp.sum(dmask) + jnp.sum(lstart)
+                 ).astype(jnp.float32)
+        return probe, None
+
+    # ---- chunk-batched flatten + masked-dense force evaluation ----
+    spos = tree.spos
+    body_rows = tree.body_rows
+    Cb = max(1, min(hier_batch, C))
+    n_batches = -(-C // Cb)
+    c_pad = n_batches * Cb
+
+    def padc(x, fill):
+        if c_pad == C:
+            return x
+        return jnp.concatenate(
+            [x, jnp.full((c_pad - C,) + x.shape[1:], fill, x.dtype)])
+
+    jj = jnp.arange(DB, dtype=jnp.int32)
+
+    def flat_batch(args):
+        offs_b, cnt_b, ls_b, dm_b, dt_b = args
+        oe = offs_b - cnt_b                                   # (Cb, LC)
+        member = ((oe[:, :, None] <= jj[None, None, :])
+                  & (jj[None, None, :] < offs_b[:, :, None])
+                  ).astype(jnp.float32)                       # (Cb, LC, DB)
+        # one batched matmul: row 0 = slot offsets, rows 1.. = group masks
+        lhs = jnp.concatenate(
+            [(ls_b - oe).astype(jnp.float32)[:, None, :],
+             dm_b.astype(jnp.float32)], axis=1)               # (Cb, CH+1, LC)
+        out = jax.lax.batch_matmul(lhs, member)               # (Cb, CH+1, DB)
+        slots = out[:, 0, :].astype(jnp.int32) + jj[None, :]
+        svalid = jj[None, :] < jnp.minimum(dt_b, DB)[:, None]
+        wdir = out[:, 1:, :] * svalid[:, None, :]             # (Cb, CH, DB)
+        prow = body_rows[jnp.where(svalid, slots, 0)]         # (Cb, DB, 4)
+        return prow, wdir
+
+    flat_args = jax.tree.map(
+        lambda x: x.reshape((n_batches, Cb) + x.shape[1:]),
+        (padc(offs, 0), padc(lcount, 0), padc(lstart, 0),
+         padc(dmask, False), padc(d_tot, 0)))
+    prow_b, wdir_b = jax.lax.map(flat_batch, flat_args)
+    prow = prow_b.reshape(c_pad, DB, 4)
+    wdir = wdir_b.reshape(c_pad, CH, DB)
+
+    eb = max(1, min(4 * hier_batch, c_pad))
+    while c_pad % eb:
+        eb //= 2
+    n_eb = c_pad // eb
+
+    def eval_batch(args):
+        gs_b, gv_b, wapx_b, com_b, prow_b2, wdir_b2 = args
+
+        def one_chunk(gs_c, gv_c, wapx_c, com_c, prow_c, wdir_c):
+            def one_g(gs_g, gv_g, wa_g, wd_g):
+                sl0 = jnp.clip(gs_g, 0, cap - GS)
+                bpos = jax.lax.dynamic_slice_in_dim(spos, sl0, GS, 0)
+                acc = _point_accel(bpos, com_c, wa_g, soft2)
+                acc = acc + _point_accel(bpos, prow_c[:, 0:2],
+                                         prow_c[:, 2] * wd_g, soft2)
+                return jnp.where(gv_g, 1.0, 0.0) * acc
+            return jax.vmap(one_g)(gs_c, gv_c, wapx_c, wdir_c)
+        return jax.vmap(one_chunk)(gs_b, gv_b, wapx_b, com_b, prow_b2,
+                                   wdir_b2)
+
+    eval_args = jax.tree.map(
+        lambda x: x.reshape((n_eb, eb) + x.shape[1:]),
+        (padc(gsp.reshape(C, CH), cap), padc(gv, False),
+         padc(wapx, 0.0), padc(crows[..., 1:3], 0.0), prow, wdir))
+    acc_b = jax.lax.map(eval_batch, eval_args)
+    acc_rows = acc_b.reshape(c_pad * CH, GS, 2)[:G]
+
+    n_levels = len(hier_sizes)
+    cand_need = jnp.zeros((n_levels,), jnp.int32)
+    for li, n in zip(lvl_map, lvl_needs):
+        cand_need = cand_need.at[li].set(n.astype(jnp.int32))
+    needs = {"leaf_need": jnp.max(ltot), "direct_need": jnp.max(d_tot),
+             "cand_need": cand_need}
+    return acc_rows, needs
+
+
 def _point_accel(bpos, src_pos, src_mass, soft2):
     """Blocked point-mass kernel: sum_j m_j * d_ij * r_ij^-3 (no G)."""
     dx = src_pos[None, :, 0] - bpos[:, None, 0]
@@ -322,19 +599,27 @@ def _point_accel(bpos, src_pos, src_mass, soft2):
     jax.jit,
     static_argnames=("group_size", "group_cap", "max_depth", "frontier_cap",
                      "approx_cap", "leaf_list_cap", "direct_body_cap",
-                     "group_chunk", "traversal", "debug_stage"))
+                     "group_chunk", "traversal", "debug_stage", "hier_sizes",
+                     "cand_caps", "hier_batch"))
 def bh_accel_from_tree(tree: Tree, theta, soft2, G, *, group_size: int,
                        group_cap: int, max_depth: int, frontier_cap: int,
                        approx_cap: int, leaf_list_cap: int,
                        direct_body_cap: int, group_chunk: int,
-                       traversal: str = "dense", debug_stage: str = "full"):
+                       traversal: str = "dense", debug_stage: str = "full",
+                       hier_sizes: tuple = (1024, 64, 8),
+                       cand_caps: tuple = (65536, 16384, 4096),
+                       hier_batch: int = 32):
     """BH accelerations for all bodies; returns (acc, stats).
 
     ``acc`` is in ORIGINAL body order. ``traversal`` selects the list
     builder: ``"dense"`` (local monotone-MAC classification,
-    :func:`_classify_dense` — the fast path) or ``"bfs"`` (lockstep wave
-    traversal, kept as the independently-derived cross-check; both produce
-    the identical accept/direct sets, tested in tests/test_bh.py).
+    :func:`_classify_dense`), ``"hier"`` (chunk-hierarchical candidate
+    refinement + masked-dense evaluation, :func:`_hier_accel` — the
+    large-N fast path; identical interaction sets by the same monotone-MAC
+    argument) or ``"bfs"`` (lockstep wave traversal, kept as the
+    independently-derived cross-check). dense and bfs produce bit-identical
+    lists (tested in tests/test_bh.py); hier is equality-tested against
+    dense to f32 summation-order tolerance.
     """
     cap, _ = tree.spos.shape
     GS = min(group_size, cap)
@@ -359,6 +644,31 @@ def bh_accel_from_tree(tree: Tree, theta, soft2, G, *, group_size: int,
     gmin, gmax = jax.vmap(aabb)(gstart, gcount, gvalid)
     if debug_stage == "aabb":  # timing probe: groups + boxes only
         return gmin + gmax, None
+
+    # Coverage guard (see TraversalStats): the largest leaf population.
+    # Only a max-depth leaf can exceed leaf_size, so this stays small unless
+    # the scene collapses > group_size bodies into one max-depth cell.
+    node_valid = jnp.arange(NC, dtype=jnp.int32) < tree.n_nodes
+    leaf_max = jnp.max(jnp.where(node_valid & (tree.child < 0),
+                                 tree.count, 0))
+
+    if traversal == "hier":
+        res = _hier_accel(
+            tree, gstart, gcount, gvalid, gmin, gmax, theta2, soft2,
+            group_size=GS, hier_sizes=hier_sizes, cand_caps=cand_caps,
+            leaf_list_cap=leaf_list_cap, direct_body_cap=direct_body_cap,
+            hier_batch=hier_batch, debug_stage=debug_stage)
+        if debug_stage == "classify":
+            return res
+        acc_rows, needs = res
+        if debug_stage == "force":
+            return acc_rows[:, 0], None
+        stats = TraversalStats(
+            approx_need=jnp.int32(0), leaf_need=needs["leaf_need"],
+            direct_need=needs["direct_need"], frontier_need=jnp.int32(0),
+            group_need=n_groups, node_need=tree.node_need,
+            group_size_need=leaf_max, cand_need=needs["cand_need"])
+        return G * _assemble(tree, acc_rows, gstart, GS, group_cap), stats
 
     # Chunk the traversal over groups: the BFS path's per-wave temporaries
     # are (groups x frontier_cap x 10-lane rows) and the dense path's masks
@@ -442,7 +752,18 @@ def bh_accel_from_tree(tree: Tree, theta, soft2, G, *, group_size: int,
     if debug_stage == "force":  # timing probe: + pair blocks, no assembly
         return acc_rows[:, 0], None
 
-    # ---- scatter-free assembly: sorted slot -> (group, row) -> orig ----
+    maxes = (jnp.max(a_need), jnp.max(l_need), jnp.max(d_need),
+             jnp.max(f_need))
+    stats = TraversalStats(
+        approx_need=maxes[0], leaf_need=maxes[1], direct_need=maxes[2],
+        frontier_need=maxes[3], group_need=n_groups,
+        node_need=tree.node_need, group_size_need=leaf_max)
+    return G * _assemble(tree, acc_rows, gstart, GS, group_cap), stats
+
+
+def _assemble(tree: Tree, acc_rows, gstart, GS: int, group_cap: int):
+    """Scatter-free assembly: sorted slot -> (group, row) -> orig order."""
+    cap = tree.spos.shape[0]
     s = jnp.arange(cap, dtype=jnp.int32)
     g_of_s = jnp.clip(jnp.searchsorted(gstart, s, side="right") - 1,
                       0, group_cap - 1).astype(jnp.int32)
@@ -451,18 +772,4 @@ def bh_accel_from_tree(tree: Tree, theta, soft2, G, *, group_size: int,
     in_range = (row >= 0) & (row < GS) & (s < tree.n_alive)
     acc_sorted = acc_rows[g_of_s, jnp.clip(row, 0, GS - 1)]
     acc_sorted = jnp.where(in_range[:, None], acc_sorted, 0.0)
-    acc = acc_sorted[tree.unsort]
-
-    maxes = (jnp.max(a_need), jnp.max(l_need), jnp.max(d_need),
-             jnp.max(f_need))
-    # Coverage guard (see TraversalStats): the largest leaf population.
-    # Only a max-depth leaf can exceed leaf_size, so this stays small unless
-    # the scene collapses > group_size bodies into one max-depth cell.
-    node_valid = jnp.arange(NC, dtype=jnp.int32) < tree.n_nodes
-    leaf_max = jnp.max(jnp.where(node_valid & (tree.child < 0),
-                                 tree.count, 0))
-    stats = TraversalStats(
-        approx_need=maxes[0], leaf_need=maxes[1], direct_need=maxes[2],
-        frontier_need=maxes[3], group_need=n_groups,
-        node_need=tree.node_need, group_size_need=leaf_max)
-    return G * acc, stats
+    return acc_sorted[tree.unsort]

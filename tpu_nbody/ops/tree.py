@@ -78,10 +78,14 @@ class Tree(NamedTuple):
                            # deep levels were truncated — grow num_nodes)
     # Packed per-node row for single-gather traversal: the backend moves a
     # multi-lane row at the same rate as one scalar, so fetching
-    # [mass, comx, comy, cx, cy, side, child, nchild, start, count] as ONE
-    # row-gather is ~10x cheaper than ten field gathers. Geometry (cx, cy,
-    # side) is precomputed at build so the traversal never decodes codes.
-    node_rows: jax.Array   # (NC, 10) float32
+    # [mass, comx, comy, cx, cy, side, child, nchild, start, count,
+    #  pcx, pcy, pside, has_parent] as ONE row-gather is ~10x cheaper than
+    # per-field gathers. Geometry (cx, cy, side) is precomputed at build so
+    # the traversal never decodes codes; PARENT cell geometry (pcx, pcy,
+    # pside; has_parent = 0.0 for the root) rides along so the local
+    # monotone-MAC accept test ``pass(n) & ~pass(parent(n))`` needs no
+    # second gather (used by the dense and hier traversals).
+    node_rows: jax.Array   # (NC, 14) float32
     body_rows: jax.Array   # (cap, 4) float32: [x, y, exerted mass, 0]
     # --- sorted bodies ---
     spos: jax.Array        # (cap, 2) positions in Hilbert order
@@ -268,11 +272,28 @@ def build_tree(pos, mass_exert, alive, origin, root_side, *, num_nodes: int,
     msafe = jnp.maximum(m_t, 1e-30)
     com = jnp.stack([mx_t / msafe, my_t / msafe], axis=-1)
 
+    # Parent cell geometry from the owner body's coords masked one level
+    # coarser (lvl - 1) — no gather, same trick as the node's own cell.
+    pgshift = jnp.minimum(gshift + 1, morton.COORD_BITS)
+    pgx = (sij[b, 0] >> pgshift) << pgshift
+    pgy = (sij[b, 1] >> pgshift) << pgshift
+    pside_units = (jnp.int32(1) << pgshift).astype(dtype)
+    has_par = slot_valid & (lvl > 0)
+    blk_pside = jnp.where(has_par, pside_units * unit_len, 0.0)
+    blk_pcx = jnp.where(has_par,
+                        origin[0] + (pgx.astype(dtype) + 0.5 * pside_units)
+                        * unit_len, 0.0)
+    blk_pcy = jnp.where(has_par,
+                        origin[1] + (pgy.astype(dtype) + 0.5 * pside_units)
+                        * unit_len, 0.0)
+
     f32 = lambda x: x.astype(jnp.float32)
     node_rows = jnp.stack(
         [f32(m_t), f32(com[:, 0]), f32(com[:, 1]), f32(blk_cx),
          f32(blk_cy), f32(blk_side), f32(blk_child),
-         f32(blk_nc), f32(blk_start), f32(blk_count)], axis=-1)
+         f32(blk_nc), f32(blk_start), f32(blk_count),
+         f32(blk_pcx), f32(blk_pcy), f32(blk_pside),
+         has_par.astype(jnp.float32)], axis=-1)
     body_rows = jnp.concatenate(
         [f32(spos), f32(smass)[:, None], jnp.zeros((cap, 1), jnp.float32)],
         axis=-1)
