@@ -9,6 +9,7 @@ Keys (same bindings and clamp ranges as the reference, NBodyPanel.kt:237-287):
   Z/X theta -/+ (0.2..1.6)   O/P dt -/+ (-0.05..0.05, time reversal)
   K/L gravity -/+ (0..100)   Q/W disk radius | A/S disk body count
   arrows pan, scroll wheel zoom x1..x10 anchored at the cursor
+  --fullscreen: real-screen-size framebuffer + WM fullscreen (Main.kt:5-37)
 Mouse: left-drag adds a galaxy disk (drag vector = velocity), right-drag
 adds a black hole, middle click clears the scene.
 
@@ -28,6 +29,12 @@ def main():
     ap.add_argument("--width", type=int, default=1200)
     ap.add_argument("--height", type=int, default=400)
     ap.add_argument("--steps-per-frame", type=int, default=2)
+    ap.add_argument("--fullscreen", action="store_true",
+                    help="best-effort fullscreen: query the real screen "
+                         "size, size the framebuffer to it, and toggle the "
+                         "window manager's fullscreen mode — the reference "
+                         "entry's fullscreen-exclusive + maximized fallback "
+                         "(Main.kt:5-37, screen-size adaptation at 10-12)")
     args = ap.parse_args()
 
     try:
@@ -39,6 +46,23 @@ def main():
             "use run examples/collide_demo.py (GIF capture) instead.")
 
     import numpy as np
+
+    if args.fullscreen:
+        # Screen-size adaptation (Main.kt:10-12 overwrites Config.WIDTH_PX/
+        # HEIGHT_PX from the real screen): size the device framebuffer to
+        # the screen so one splat pixel = one display pixel.
+        try:
+            mgr = plt.figure().canvas.manager
+            win = mgr.window
+            try:        # Tk backend
+                args.width = int(win.winfo_screenwidth())
+                args.height = int(win.winfo_screenheight())
+            except AttributeError:   # Qt backend
+                scr = win.screen().size()
+                args.width, args.height = int(scr.width()), int(scr.height())
+            plt.close(mgr.canvas.figure)
+        except Exception:
+            pass     # keep --width/--height (maximized-window fallback)
 
     from tpu_nbody import viewer as v
     from tpu_nbody.config import SimConfig
@@ -58,6 +82,11 @@ def main():
 
     fig, ax = plt.subplots(figsize=(12, 4.5))
     fig.canvas.manager.set_window_title("tpu-nbody")
+    if args.fullscreen:
+        try:     # fullscreen-exclusive; falls back to a plain window like
+            fig.canvas.manager.full_screen_toggle()  # Main.kt:24-35
+        except Exception:
+            pass
     im = ax.imshow(np.zeros((args.height, args.width, 3)))
     txt = ax.text(2, 2, "", va="top", color="#00ff00", fontsize=7,
                   family="monospace")
