@@ -34,6 +34,17 @@ def main():
     ap.add_argument("--steps", type=int, default=10_000)
     ap.add_argument("--report-every", type=int, default=1_000)
     ap.add_argument("--theta", type=float, default=0.5)
+    ap.add_argument("--dt", type=float, default=None,
+                    help="override Params.dt (reference default 0.005); "
+                         "dt=5e-4 resolves the default scene's inner "
+                         "orbits and makes drift<=1e-3 reachable")
+    ap.add_argument("--mesh-split", type=float, default=None,
+                    help="pm only: short/long-range split radius in cell "
+                         "units (SimConfig.mesh_split); larger hands more "
+                         "of each pair force to the exactly-central "
+                         "short-range sum — tighter E/Lz conservation")
+    ap.add_argument("--mesh-rescue-k", type=int, default=None,
+                    help="pm only: rescue partner blocks per band block")
     ap.add_argument("--integrator", default="kdk",
                     choices=["kdk", "kdk_reuse"],
                     help="with merging disabled (as here) kdk_reuse is "
@@ -54,9 +65,16 @@ def main():
     from tpu_nbody.engine import Engine
 
     cap = 1 << (args.n - 1).bit_length()
+    mesh_kw = {}
+    if args.mesh_split is not None:
+        mesh_kw["mesh_split"] = args.mesh_split
+    if args.mesh_rescue_k is not None:
+        mesh_kw["mesh_rescue"] = args.mesh_rescue_k
     cfg = SimConfig(capacity=cap, max_depth=12, mesh_level=11,
-                    mesh_band=128, mesh_chunk=min(32768, cap))
+                    mesh_band=128, mesh_chunk=min(32768, cap), **mesh_kw)
     params = Params.default(theta=args.theta, merge_min_dist=0.0)
+    if args.dt is not None:
+        params = params.replace(dt=args.dt)
     eng = Engine(cfg, params, solver=args.solver,
                  integrator=args.integrator)
     n2 = args.n // 5

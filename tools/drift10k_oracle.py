@@ -30,6 +30,8 @@ def main():
     ap.add_argument("--n", type=int, default=2_000)
     ap.add_argument("--steps", type=int, default=10_000)
     ap.add_argument("--report-every", type=int, default=1_000)
+    ap.add_argument("--dt", type=float, default=None,
+                    help="override Params.dt (reference default 0.005)")
     args = ap.parse_args()
 
     jax.config.update("jax_platforms", "cpu")
@@ -46,6 +48,8 @@ def main():
     cap = 1 << (args.n - 1).bit_length()
     cfg = SimConfig(capacity=cap)
     params = Params.default(merge_min_dist=0.0)
+    if args.dt is not None:
+        params = params.replace(dt=args.dt)
     eng = Engine(cfg, params, solver="allpairs", integrator="kdk", seed=3)
     n2 = args.n // 5
     eng.reset_default_scene(n1=args.n - n2, n2=n2)

@@ -32,6 +32,8 @@ def main():
     ap.add_argument("--n", type=int, default=2_000)
     ap.add_argument("--steps", type=int, default=2_000)
     ap.add_argument("--block", type=int, default=500)
+    ap.add_argument("--filter", default="",
+                    help="only run configs whose tag contains this substring")
     args = ap.parse_args()
 
     import jax
@@ -58,6 +60,8 @@ def main():
     ox, oy = base.root_center
 
     def run(tag, level, split, band, rescue, interlace, order=2):
+        if args.filter and args.filter not in tag:
+            return
         origin = (ox - base.root_half, oy - base.root_half)
         side = 2.0 * base.root_half
 
