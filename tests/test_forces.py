@@ -104,3 +104,35 @@ def test_potential_energy_closed_form():
     got = float(forces.potential_energy(pos, m, 80.0, 1.0))
     want = -80.0 * 2.0 * 3.0 / np.sqrt(26.0)
     np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def test_band_pallas_interpret_matches_xla_band(rng, monkeypatch):
+    """P3M band-pass Pallas kernel (ops/band_pallas.py) vs the production
+    XLA block-tridiagonal form: identical coverage and pair math, so the
+    results must match bitwise up to summation order (same (S,3S) blocks,
+    same order -> exactly equal in practice)."""
+    from jax.experimental import pallas as pl
+
+    from tpu_nbody.ops import mesh as mesh_ops
+    from tpu_nbody.ops import band_pallas
+
+    real_call = pl.pallas_call
+
+    def interp_call(*args, **kw):
+        kw["interpret"] = True
+        return real_call(*args, **kw)
+
+    monkeypatch.setattr(pl, "pallas_call", interp_call)
+    cap = 4096
+    pos = (rng.random((cap, 2)) * [2400.0, 800.0]).astype(np.float32)
+    mass = (rng.random(cap) + 0.1).astype(np.float32)
+    a = 2.5 * (2404.0 / 4096)
+    ref = mesh_ops._band_short_range(jnp.asarray(pos), jnp.asarray(mass),
+                                     jnp.float32(1.0), a, band=128,
+                                     chunk=2048)
+    got = band_pallas.band_short_range_pallas(
+        jnp.asarray(pos), jnp.asarray(mass), jnp.float32(1.0),
+        jnp.float32(a))
+    scale = float(np.abs(np.asarray(ref)).max())
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-6 * scale)
