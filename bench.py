@@ -64,7 +64,7 @@ def print_roofline(eng, args, step_ms):
     S, k = cfg.mesh_band, cfg.mesh_rescue
     K = max(1, cfg.pm_resort_every)
     st = eng.state
-    spos, smass, salive, _ = mesh_ops._hilbert_sort(
+    spos, smass, salive, _ = jax.jit(mesh_ops._hilbert_sort)(
         st.pos, st.mass, st.alive, origin, side)
     kernel = mesh_ops.kernel_hats_for(
         side, jnp.float32(eng.params.soft2), mesh_level=cfg.mesh_level,
@@ -85,19 +85,28 @@ def print_roofline(eng, args, step_ms):
         float(s)
         return (time.perf_counter() - t0) / iters * 1e3
 
+    # NOTE the big arrays are jit ARGUMENTS in every probe (see the FFT
+    # note below — closure constants of this size are UNIMPLEMENTED on the
+    # tunnel compiler and killed the whole table in early round-4 runs).
     @jax.jit
-    def ph_sort(s):
-        sp, sm, sa, us = mesh_ops._hilbert_sort(st.pos + s * 1e-6, st.mass,
-                                                st.alive, origin, side)
+    def _sort(p, m2, al, s):
+        sp, sm, sa, us = mesh_ops._hilbert_sort(p + s * 1e-6, m2, al,
+                                                origin, side)
         return sp[0, 0] + us[0] + s
 
+    def ph_sort(s):
+        return _sort(st.pos, st.mass, st.alive, s)
+
     @jax.jit
-    def ph_deposit(s):
-        base, w = mesh_ops._cic_cells(spos + s * 1e-6, origin, h, nw,
+    def _deposit(sp, sm, s):
+        base, w = mesh_ops._cic_cells(sp + s * 1e-6, origin, h, nw,
                                       cfg.mesh_order, ny=ny)
-        rho = mesh_ops._deposit_packed(smass, base, w, nw, grid, ny=ny,
+        rho = mesh_ops._deposit_packed(sm, base, w, nw, grid, ny=ny,
                                        grid_y=grid_y)
         return rho[0, 0] + jnp.sum(rho[0, :8]) + s
+
+    def ph_deposit(s):
+        return _deposit(spos, smass, s)
 
     # NOTE all big arrays are passed as ARGUMENTS, not jit-closure
     # constants: embedding a 100MB+ (complex) constant in the executable is
