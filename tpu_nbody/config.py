@@ -90,10 +90,13 @@ class SimConfig:
                                    # refinement level (descending, each
                                    # divides the previous; levels >= the
                                    # group count are skipped)
-    bh_hier_cand_caps: tuple = (65536, 16384, 4096)  # hier: per-chunk
+    bh_hier_cand_caps: tuple = (131072, 32768, 4096)  # hier: per-chunk
                                    # candidate-list cap per level (engine
                                    # retunes on overflow like the other
-                                   # traversal caps)
+                                   # traversal caps; clipped to the node
+                                   # table at small N). Defaults = measured
+                                   # N=1M two-disk needs with ~1.7x slack
+                                   # (72923, 23589, 2534 — hier_probe r4)
     bh_hier_batch: int = 32        # hier: chunks per lax.map batch in the
                                    # partner-flatten stage (memory bound:
                                    # the (batch, leaf_cap, direct_cap)

@@ -74,7 +74,7 @@ class Caps:
     group_size: int
     # hier traversal: per-chunk candidate caps per refinement level
     # (ops/traverse.py _hier_lists); retuned elementwise like the others.
-    cand_caps: tuple = (65536, 16384, 4096)
+    cand_caps: tuple = (131072, 32768, 4096)
 
     @classmethod
     def from_config(cls, cfg: SimConfig) -> "Caps":
@@ -502,15 +502,23 @@ def make_step_fn(cfg: SimConfig, caps: Caps, solver: str, integrator: str,
         @functools.partial(jax.jit, static_argnames=("n_steps",))
         def loop_fn(state, acc0, seed_st, aux, params, n_steps: int):
             aux_cell[0] = aux
-            state, acc, st = one_step(state, acc0, params)
-            st = max_stats(seed_st, st)
-            if n_steps > 1:
-                def body(carry, _):
-                    s, a, acc_stats = carry
-                    s, a, ss = one_step(s, a, params)
-                    return (s, a, max_stats(acc_stats, ss)), None
-                (state, acc, st), _ = jax.lax.scan(
-                    body, (state, acc, st), None, length=n_steps - 1)
+            # EXACTLY ONE traversal instance in this executable: all steps
+            # run through the single scan body (the seed pass already
+            # provides the carried stats structure). Unrolling the first
+            # step next to the scan embeds a SECOND instance, which
+            # kernel-faults this backend's worker at capacity >= 2^20
+            # (the twin-traversal fault, PERFORMANCE.md) — bench.py's
+            # N=1M bh run died exactly there in round 4.
+            if n_steps == 1:
+                state, acc, st = one_step(state, acc0, params)
+                return state, max_stats(seed_st, st)
+
+            def body(carry, _):
+                s, a, acc_stats = carry
+                s, a, ss = one_step(s, a, params)
+                return (s, a, max_stats(acc_stats, ss)), None
+            (state, acc, st), _ = jax.lax.scan(
+                body, (state, acc0, seed_st), None, length=n_steps)
             return state, st
 
         def step_n(state: SimState, params: Params, n_steps: int = 1):
