@@ -89,6 +89,56 @@ print("OK scan2", float(eng.state.pos[0, 0]))
 ''',
 }
 
+# Round-4 hier-traversal stages: the split probe (tree and traversal in
+# SEPARATE executables, tools/hier_probe.py) runs fine at N=1M while the
+# engine path crashes the worker — these bisect the one_step graph.
+HIER_COMMON = r'''
+import jax, jax.numpy as jnp, numpy as np
+from tpu_nbody.config import Params, SimConfig
+from tpu_nbody.engine import Engine
+
+n = 1_000_000; cap = 1048576
+def make_hier(integ, merge=True):
+    cfg = SimConfig(capacity=cap, max_depth=14, group_chunk=64,
+                    direct_body_cap=16384, leaf_list_cap=2048,
+                    approx_cap=1024, frontier_cap=1024,
+                    bh_hier_cand_caps=(131072, 32768, 4096),
+                    bh_traversal="hier")
+    p = Params.default() if merge else Params.default(merge_min_dist=0.0)
+    eng = Engine(cfg, p, solver="bh", integrator=integ, seed=3,
+                 auto_retune=False)
+    n2 = n // 5
+    eng.reset_default_scene(n1=n - n2, n2=n2)
+    return eng
+'''
+
+STAGES.update({
+    # tree build + hier traversal FUSED in one executable (the
+    # make_bh_accel path the engine's seed_fn compiles)
+    "hier_fused": HIER_COMMON + '''
+from tpu_nbody.engine import Caps, make_bh_accel
+eng = make_hier("kdk_reuse")
+accel = make_bh_accel(eng.cfg, eng.caps)
+acc, st = accel(eng.state.pos, eng.state.mass, eng.state.alive, eng.params)
+print("OK hier_fused", float(acc[0, 0]))
+''',
+    "hier_reuse1": HIER_COMMON + '''
+eng = make_hier("kdk_reuse")
+eng.step(1)
+print("OK hier_reuse1", float(eng.state.pos[0, 0]))
+''',
+    "hier_reuse1_nomerge": HIER_COMMON + '''
+eng = make_hier("kdk_reuse", merge=False)
+eng.step(1)
+print("OK hier_reuse1_nomerge", float(eng.state.pos[0, 0]))
+''',
+    "hier_reuse4": HIER_COMMON + '''
+eng = make_hier("kdk_reuse")
+eng.step(4)
+print("OK hier_reuse4", float(eng.state.pos[0, 0]))
+''',
+})
+
 
 def wait_worker(max_wait=900):
     probe = ("import jax, jax.numpy as jnp;"

@@ -227,15 +227,21 @@ def make_sharded_bh_step(mesh: Mesh, cfg: SimConfig, caps, *,
 
     @functools.partial(jax.jit, static_argnames=("n_steps",))
     def loop_fn(state, acc0, seed_st, params, n_steps: int):
-        state, acc, st = one(state, acc0, params)
-        st = max_stats(seed_st, st)
-        if n_steps > 1:
-            def body(carry, _):
-                s, a, acc_st = carry
-                s, a, ss = one(s, a, params)
-                return (s, a, max_stats(acc_st, ss)), None
-            (state, acc, st), _ = jax.lax.scan(
-                body, (state, acc, st), None, length=n_steps - 1)
+        # One traversal instance per executable (same structure as the
+        # single-chip kdk_reuse loop): every step runs through the single
+        # scan body — unrolling the first step next to the scan embeds a
+        # second instance, the twin-traversal fault at large per-shard
+        # capacity (engine.py loop_fn, PERFORMANCE.md).
+        if n_steps == 1:
+            state, acc, st = one(state, acc0, params)
+            return state, max_stats(seed_st, st)
+
+        def body(carry, _):
+            s, a, acc_st = carry
+            s, a, ss = one(s, a, params)
+            return (s, a, max_stats(acc_st, ss)), None
+        (state, acc, st), _ = jax.lax.scan(
+            body, (state, acc0, seed_st), None, length=n_steps)
         return state, st
 
     def step_n(state: SimState, params: Params, n_steps: int = 1):
