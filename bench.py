@@ -240,11 +240,15 @@ def main():
             # bigger force-eval chunks amortize this backend's per-op
             # dispatch overhead (~0.3 ms x n_chunks; 2x at N=100k bh)
             group_chunk=16 if args.small else 64,
-            # generous BH caps at full scale to avoid retune recompiles
+            # measured-need BH caps at full scale to avoid retune
+            # recompiles (N=1M hier probe needs: leaf 1375, direct 10177
+            # per 8-group chunk, cand (72923, 23589, 2534) -> 459 ms/pass,
+            # tools/hier_probe.py sweep)
             approx_cap=1024 if big_bh else 512,
-            direct_body_cap=4096 if big_bh else 1024,
+            direct_body_cap=16384 if big_bh else 1024,
             frontier_cap=1024 if big_bh else 512,
-            leaf_list_cap=512 if big_bh else 256,
+            leaf_list_cap=2048 if big_bh else 256,
+            bh_hier_cand_caps=(131072, 32768, 4096),
             mesh_level=10 if args.small else 12,
             # rect mesh: the scene is 2400x800 in a 2404^2 root quad — half
             # the rows covers y in [-201, 1001] with margin and halves the

@@ -32,6 +32,11 @@ def main():
     ap.add_argument("--hier-batch", type=int, default=32)
     ap.add_argument("--max-depth", type=int, default=14)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--config", action="append", default=[],
+                    help="extra sweep config 'sizes/cand_caps/leaf/direct"
+                         "/batch', e.g. '1024,64,8,1/131072,32768,4096,1024"
+                         "/1024/4096/8'; repeatable — each reuses the "
+                         "already-built tree (one tree compile per process)")
     args = ap.parse_args()
 
     import jax
@@ -67,38 +72,51 @@ def main():
           flush=True)
 
     G = max(1, cap // args.group_size)
-    kw = dict(group_size=args.group_size, group_cap=G + 1,
-              max_depth=args.max_depth, frontier_cap=64,
-              approx_cap=64, leaf_list_cap=args.leaf_cap,
-              direct_body_cap=args.direct_cap, group_chunk=64,
-              traversal="hier", hier_sizes=tuple(args.hier_sizes),
-              cand_caps=tuple(args.cand_caps), hier_batch=args.hier_batch)
 
-    def run(stage, salt):
-        # every debug stage returns (array, stats-or-None)
-        return traverse.bh_accel_from_tree(
-            t, jnp.float32(args.theta + salt * 1e-9), jnp.float32(1.0),
-            jnp.float32(80.0), debug_stage=stage, **kw)
+    configs = [(tuple(args.hier_sizes), tuple(args.cand_caps),
+                args.leaf_cap, args.direct_cap, args.hier_batch)]
+    for spec in args.config:
+        sz, cc, lc, db, hb = spec.split("/")
+        configs.append((tuple(int(x) for x in sz.split(",")),
+                        tuple(int(x) for x in cc.split(",")),
+                        int(lc), int(db), int(hb)))
 
     stage = args.stage
-    t0 = time.perf_counter()
-    out, stats = run(stage, 0)
-    v0 = float(jnp.ravel(out)[0])
-    print(f"# {stage}: first call {time.perf_counter() - t0:.1f}s "
-          f"(compile+run) probe={v0:.3e}", flush=True)
-    if stats is not None:
-        print(f"# needs: leaf={int(stats.leaf_need)} "
-              f"direct={int(stats.direct_need)} "
-              f"cand={[int(x) for x in stats.cand_need]} "
-              f"group_size_need={int(stats.group_size_need)}", flush=True)
+    for sizes, ccaps, leaf_cap, direct_cap, hb in configs:
+        kw = dict(group_size=args.group_size, group_cap=G + 1,
+                  max_depth=args.max_depth, frontier_cap=64,
+                  approx_cap=64, leaf_list_cap=leaf_cap,
+                  direct_body_cap=direct_cap, group_chunk=64,
+                  traversal="hier", hier_sizes=sizes,
+                  cand_caps=ccaps, hier_batch=hb)
+        tag = f"sizes={sizes} caps={ccaps} leaf={leaf_cap} " \
+              f"direct={direct_cap} hb={hb}"
 
-    t0 = time.perf_counter()
-    for i in range(1, args.iters + 1):
-        out, _ = run(stage, i)
-    float(jnp.ravel(out)[0])
-    dt = (time.perf_counter() - t0) / args.iters * 1e3
-    print(f"# {stage}: {dt:.1f} ms/call ({n / dt * 1e3:,.0f} updates/s "
-          f"at 1 pass/step)", flush=True)
+        def run(salt):
+            # every debug stage returns (array, stats-or-None)
+            return traverse.bh_accel_from_tree(
+                t, jnp.float32(args.theta + salt * 1e-9), jnp.float32(1.0),
+                jnp.float32(80.0), debug_stage=stage, **kw)
+
+        t0 = time.perf_counter()
+        out, stats = run(0)
+        v0 = float(jnp.ravel(out)[0])
+        print(f"# [{tag}] {stage}: first call "
+              f"{time.perf_counter() - t0:.1f}s probe={v0:.3e}", flush=True)
+        if stats is not None:
+            print(f"#   needs: leaf={int(stats.leaf_need)} "
+                  f"direct={int(stats.direct_need)} "
+                  f"cand={[int(x) for x in stats.cand_need]} "
+                  f"group_size_need={int(stats.group_size_need)}",
+                  flush=True)
+
+        t0 = time.perf_counter()
+        for i in range(1, args.iters + 1):
+            out, _ = run(i)
+        float(jnp.ravel(out)[0])
+        dt = (time.perf_counter() - t0) / args.iters * 1e3
+        print(f"#   {stage}: {dt:.1f} ms/call ({n / dt * 1e3:,.0f} "
+              f"updates/s at 1 pass/step)", flush=True)
 
 
 if __name__ == "__main__":

@@ -119,12 +119,13 @@ def exp_time(args):
     jax.block_until_ready(spos)
     print(f"# time n={n} lvl={lvl} ny={ny}", flush=True)
 
-    def make_deposit(order):
+    def make_deposit(order, window=False):
         @jax.jit
         def ph(s):
             base, w = mesh_ops._cic_cells(spos + s * 1e-6, origin, h, nw,
                                           order, ny=ny)
             rho = mesh_ops._deposit_packed(smass, base, w, nw, grid,
+                                           run_compress=window,
                                            ny=ny, grid_y=grid_y)
             return rho[0, 0] + jnp.sum(rho[0, :8]) + s
         return ph
@@ -166,6 +167,9 @@ def exp_time(args):
         return ph
 
     chained_time(make_deposit(2), args.iters, "deposit CIC (order 2)")
+    for W in args.windows:
+        chained_time(make_deposit(2, window=W), args.iters,
+                     f"deposit CIC window W={W}")
     chained_time(make_deposit(1), args.iters, "deposit NGP (order 1)")
     chained_time(make_interp(2), args.iters, "interp CIC (order 2)")
     chained_time(make_interp(1), args.iters, "interp NGP (order 1)")
@@ -190,6 +194,10 @@ def main():
     ap.add_argument("--splits", type=float, nargs="+", default=[3.0])
     ap.add_argument("--bands", type=int, nargs="+", default=[256, 128])
     ap.add_argument("--rescues", type=int, nargs="+", default=[8, 6, 4])
+    ap.add_argument("--windows", type=int, nargs="+", default=[],
+                    help="time: also time deposit with run_compress=W "
+                         "window pre-summing (same-cell RMW conflict "
+                         "removal on the Hilbert-sorted stream)")
     ap.add_argument("--interlace", action="store_true",
                     help="acc: average a half-cell-shifted second mesh pass")
     ap.add_argument("--iters", type=int, default=5)
