@@ -91,6 +91,27 @@ def test_kdk_reuse_engine_runs():
     assert int(eng.state.step) == 4
 
 
+def test_step_stream_matches_step():
+    """step_stream (n single-step executables, python-carried acc — the
+    large-N BH mode that dodges the backend's scan fault) must produce the
+    exact same trajectory as step's fused scan: same one_step graph, same
+    carried acceleration, so bitwise-equal states."""
+    cfg = SimConfig(capacity=512, **SMALL)
+    a = Engine(cfg, solver="bh", integrator="kdk_reuse", seed=5)
+    b = Engine(cfg, solver="bh", integrator="kdk_reuse", seed=5)
+    a.reset_default_scene(n1=300, n2=100)
+    b.reset_default_scene(n1=300, n2=100)
+    a.step(4)
+    b.step_stream(4)
+    assert int(b.state.step) == 4
+    np.testing.assert_array_equal(np.asarray(a.state.pos),
+                                  np.asarray(b.state.pos))
+    np.testing.assert_array_equal(np.asarray(a.state.vel),
+                                  np.asarray(b.state.vel))
+    np.testing.assert_array_equal(np.asarray(a.state.alive),
+                                  np.asarray(b.state.alive))
+
+
 def test_cap_auto_retune():
     cfg = SimConfig(capacity=1024, max_depth=7, group_chunk=16,
                     approx_cap=64, direct_body_cap=64, frontier_cap=64,

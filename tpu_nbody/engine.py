@@ -521,10 +521,26 @@ def make_step_fn(cfg: SimConfig, caps: Caps, solver: str, integrator: str,
                 body, (state, acc0, seed_st), None, length=n_steps)
             return state, st
 
+        @jax.jit
+        def carry_fn(state, acc, aux, params):
+            # one step as its OWN executable (one traversal instance, no
+            # scan), with the reused-kick acceleration carried in/out so a
+            # python-side loop pays 1 force pass/step like the scan does.
+            # Exists because a lax.scan over the BH hier traversal at
+            # N=1M crashes this backend's TPU worker even with a single
+            # instance in the body (the scan fault, PERFORMANCE.md round
+            # 4) — Engine.step_stream drives this instead.
+            aux_cell[0] = aux
+            state, acc, st = one_step(state, acc, params)
+            return state, acc, st
+
         def step_n(state: SimState, params: Params, n_steps: int = 1):
             acc0, seed_st, aux = seed_fn(state, params)
             return loop_fn(state, acc0, seed_st, aux, params,
                            n_steps=n_steps)
+
+        step_n.seed_fn = seed_fn
+        step_n.carry_fn = carry_fn
 
     else:
         raise ValueError(f"unknown integrator {integrator!r}")
@@ -624,6 +640,56 @@ class Engine:
             new_state, stats = self._step_fn(
                 self.state, self.params, n_steps=n)
             stats = self._record_stats(stats)
+            rounds += 1
+        self.state = new_state
+        return self.state
+
+    def step_stream(self, n: int = 1):
+        """Advance ``n`` steps as ``n`` single-step executables (no scan).
+
+        ``kdk_reuse`` only (other integrators fall through to ``step``):
+        seeds the carried acceleration once, then repeats one jitted
+        single-traversal-instance step per call, python-side. This is the
+        large-N BH stepping mode on this backend — a ``lax.scan`` whose
+        body holds the hier traversal kernel-faults the TPU worker at
+        N=1M even with one instance per executable (the scan fault,
+        PERFORMANCE.md round 4), while the identical step graph as its
+        own executable runs fine. Costs one extra dispatch per step
+        (~5 ms against a ~0.5 s step). Auto-retunes caps on overflow and
+        redoes the stream from the pre-stream state, like ``step``.
+        """
+        if self.integrator != "kdk_reuse":
+            return self.step(n)
+        if self._step_fn is None:
+            self._build_step()
+
+        def run_stream():
+            state = self.state
+            acc, agg, aux = self._step_fn.seed_fn(state, self.params)
+            for _ in range(n):
+                state, acc, st = self._step_fn.carry_fn(
+                    state, acc, aux, self.params)
+                agg = jax.tree.map(jnp.maximum, agg, st)
+            return state, self._record_stats(agg)
+
+        new_state, stats = run_stream()
+        rounds = 0
+        while (self.auto_retune and rounds < 6 and self._overflowed(stats)):
+            progressed = False
+            if stats["trav"] is not None:
+                grown = self.caps.grown(stats["trav"])
+                if grown != self.caps:
+                    self.caps = grown
+                    progressed = True
+            heavy = int(stats["heavy_need"])
+            if heavy > self.merge_heavy_cap:
+                self.merge_heavy_cap = min(self.cfg.capacity,
+                                           _next_pow2(2 * heavy))
+                progressed = True
+            if not progressed:
+                break
+            self._build_step()
+            new_state, stats = run_stream()
             rounds += 1
         self.state = new_state
         return self.state
