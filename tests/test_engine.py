@@ -104,12 +104,34 @@ def test_step_stream_matches_step():
     a.step(4)
     b.step_stream(4)
     assert int(b.state.step) == 4
+    # Bitwise equality holds today because both paths compile the identical
+    # one_step graph; XLA is in principle free to fuse/round differently
+    # across executables, so if this ever fails with tiny deltas it is a
+    # compiler-rounding change, not a physics regression — relax to
+    # assert_allclose(rtol=1e-6) in that case (ADVICE r4).
     np.testing.assert_array_equal(np.asarray(a.state.pos),
                                   np.asarray(b.state.pos))
     np.testing.assert_array_equal(np.asarray(a.state.vel),
                                   np.asarray(b.state.vel))
     np.testing.assert_array_equal(np.asarray(a.state.alive),
                                   np.asarray(b.state.alive))
+
+
+def test_step_stream_pm():
+    """step_stream must not crash on the pm persistent-sort step (it has no
+    seed/carry split — round-4 regression: AttributeError on seed_fn); it
+    falls through to step() and produces the same trajectory."""
+    cfg = SimConfig(capacity=512, max_depth=7, mesh_level=6, mesh_band=32,
+                    mesh_chunk=128, mesh_rescue=2)
+    a = Engine(cfg, solver="pm", integrator="kdk_reuse", seed=5)
+    b = Engine(cfg, solver="pm", integrator="kdk_reuse", seed=5)
+    a.reset_default_scene(n1=300, n2=100)
+    b.reset_default_scene(n1=300, n2=100)
+    a.step(3)
+    b.step_stream(3)
+    assert int(b.state.step) == 3
+    np.testing.assert_array_equal(np.asarray(a.state.pos),
+                                  np.asarray(b.state.pos))
 
 
 def test_cap_auto_retune():

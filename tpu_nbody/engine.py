@@ -348,7 +348,15 @@ def _make_pm_sorted_step(cfg: SimConfig, merge_heavy_cap: int) -> Callable:
         return loop_fn(state, perm, acc0, need0, kernel, params,
                        n_steps=n_steps)
 
+    step_n.max_stats = _max_stats
     return step_n
+
+
+def _max_stats(a, b):
+    """None-tolerant elementwise max over two step-stats pytrees."""
+    if a is None or b is None:
+        return a if b is None else b
+    return jax.tree.map(jnp.maximum, a, b)
 
 
 def make_step_fn(cfg: SimConfig, caps: Caps, solver: str, integrator: str,
@@ -424,10 +432,7 @@ def make_step_fn(cfg: SimConfig, caps: Caps, solver: str, integrator: str,
         stats_holder.append(st)
         return acc
 
-    def max_stats(a, b):
-        if a is None or b is None:
-            return a if b is None else b
-        return jax.tree.map(jnp.maximum, a, b)
+    max_stats = _max_stats
 
     if integrator in _INTEGRATORS:
         int_step = _INTEGRATORS[integrator]
@@ -545,6 +550,7 @@ def make_step_fn(cfg: SimConfig, caps: Caps, solver: str, integrator: str,
     else:
         raise ValueError(f"unknown integrator {integrator!r}")
 
+    step_n.max_stats = max_stats
     return step_n
 
 
@@ -611,16 +617,13 @@ class Engine:
         trav = stats["trav"]
         return trav is not None and bool(trav.overflowed(self.caps.as_dict()))
 
-    def step(self, n: int = 1):
-        """Advance ``n`` steps (one jit call). Auto-retunes caps on overflow."""
-        if self._step_fn is None:
-            self._build_step()
-        new_state, stats = self._step_fn(self.state, self.params, n_steps=n)
-        stats = self._record_stats(stats)
-        # Overflow means interactions (or merge absorbers) were dropped:
-        # retune caps and redo from the pre-step state. Iterate — a truncated
-        # frontier hides deeper-level needs, so one growth round may reveal
-        # more.
+    def _run_with_retune(self, run: Callable):
+        """Run ``run() -> (state, recorded_stats)``; on overflow, grow caps,
+        rebuild the step fn, and redo from the pre-run state (up to 6
+        rounds). Overflow means interactions (or merge absorbers) were
+        dropped; iteration matters because a truncated frontier hides
+        deeper-level needs, so one growth round may reveal more."""
+        new_state, stats = run()
         rounds = 0
         while (self.auto_retune and rounds < 6 and self._overflowed(stats)):
             progressed = False
@@ -637,12 +640,21 @@ class Engine:
             if not progressed:
                 break
             self._build_step()
-            new_state, stats = self._step_fn(
-                self.state, self.params, n_steps=n)
-            stats = self._record_stats(stats)
+            new_state, stats = run()
             rounds += 1
         self.state = new_state
         return self.state
+
+    def step(self, n: int = 1):
+        """Advance ``n`` steps (one jit call). Auto-retunes caps on overflow."""
+        if self._step_fn is None:
+            self._build_step()
+
+        def run():
+            state, stats = self._step_fn(self.state, self.params, n_steps=n)
+            return state, self._record_stats(stats)
+
+        return self._run_with_retune(run)
 
     def step_stream(self, n: int = 1):
         """Advance ``n`` steps as ``n`` single-step executables (no scan).
@@ -662,6 +674,11 @@ class Engine:
             return self.step(n)
         if self._step_fn is None:
             self._build_step()
+        if not hasattr(self._step_fn, "seed_fn"):
+            # pm persistent-sort step (``_make_pm_sorted_step``) has no
+            # seed/carry split — its scan body holds no BH traversal so the
+            # scan fault this method exists to dodge cannot hit it.
+            return self.step(n)
 
         def run_stream():
             state = self.state
@@ -669,30 +686,10 @@ class Engine:
             for _ in range(n):
                 state, acc, st = self._step_fn.carry_fn(
                     state, acc, aux, self.params)
-                agg = jax.tree.map(jnp.maximum, agg, st)
+                agg = self._step_fn.max_stats(agg, st)
             return state, self._record_stats(agg)
 
-        new_state, stats = run_stream()
-        rounds = 0
-        while (self.auto_retune and rounds < 6 and self._overflowed(stats)):
-            progressed = False
-            if stats["trav"] is not None:
-                grown = self.caps.grown(stats["trav"])
-                if grown != self.caps:
-                    self.caps = grown
-                    progressed = True
-            heavy = int(stats["heavy_need"])
-            if heavy > self.merge_heavy_cap:
-                self.merge_heavy_cap = min(self.cfg.capacity,
-                                           _next_pow2(2 * heavy))
-                progressed = True
-            if not progressed:
-                break
-            self._build_step()
-            new_state, stats = run_stream()
-            rounds += 1
-        self.state = new_state
-        return self.state
+        return self._run_with_retune(run_stream)
 
     def tighten_caps(self) -> bool:
         """Shrink BH caps to ~1.5x the needs the last ``step`` observed.
