@@ -274,17 +274,26 @@ def main():
         n2 = n // 5
         eng.reset_default_scene(n1=n - n2, n2=n2)
 
-        # Warmup: compile the n-step scan + let cap auto-retune settle. Must
-        # use the SAME step count as the measurement (each n_steps compiles
-        # its own scan). A host value pull forces real completion (the
-        # backend's dispatch is async).
+        # bh at scale steps via step_stream (n single-step executables): a
+        # lax.scan whose body holds the hier traversal kernel-faults the TPU
+        # worker at N=1M even with one traversal instance per executable
+        # (the scan fault, PERFORMANCE.md round 4); the same graph as its
+        # own executable runs fine and the extra dispatch is ~5 ms against
+        # a ~0.5 s step.
+        advance = eng.step_stream if big_bh else eng.step
+
+        # Warmup: compile the step (scan path: the n-step scan — must use
+        # the SAME step count as the measurement since each n_steps compiles
+        # its own scan; stream path: the seed + single-step executables)
+        # + let cap auto-retune settle. A host value pull forces real
+        # completion (the backend's dispatch is async).
         t0 = time.perf_counter()
-        eng.step(args.steps)
+        advance(args.steps)
         float(eng.state.pos[0, 0])
         if args.solver == "bh" and eng.tighten_caps():
             # right-size the static list caps to this scene's measured
             # needs (8x at N=100k) and recompile before measuring
-            eng.step(args.steps)
+            advance(args.steps)
             float(eng.state.pos[0, 0])
         warmup_s = time.perf_counter() - t0
 
@@ -293,7 +302,7 @@ def main():
         dt = float("inf")
         for _ in range(2):
             t0 = time.perf_counter()
-            eng.step(args.steps)
+            advance(args.steps)
             float(eng.state.pos[0, 0])
             dt = min(dt, time.perf_counter() - t0)
         return eng, warmup_s, dt

@@ -45,6 +45,17 @@ def main():
                          "short-range sum — tighter E/Lz conservation")
     ap.add_argument("--mesh-rescue-k", type=int, default=None,
                     help="pm only: rescue partner blocks per band block")
+    ap.add_argument("--mesh-level", type=int, default=None,
+                    help="pm only: world grid = 2^level per side "
+                         "(SimConfig.mesh_level; default 11 here)")
+    ap.add_argument("--mesh-band", type=int, default=None,
+                    help="pm only: sorted-order band block size")
+    ap.add_argument("--mesh-every", type=int, default=None,
+                    help="pm only: F_long subcycling interval "
+                         "(SimConfig.pm_mesh_every; requires --heavy-cap)")
+    ap.add_argument("--heavy-cap", type=int, default=None,
+                    help="pm only: heaviest bodies excluded from the mesh "
+                         "and summed directly (SimConfig.pm_heavy_cap)")
     ap.add_argument("--integrator", default="kdk",
                     choices=["kdk", "kdk_reuse"],
                     help="with merging disabled (as here) kdk_reuse is "
@@ -70,8 +81,18 @@ def main():
         mesh_kw["mesh_split"] = args.mesh_split
     if args.mesh_rescue_k is not None:
         mesh_kw["mesh_rescue"] = args.mesh_rescue_k
-    cfg = SimConfig(capacity=cap, max_depth=12, mesh_level=11,
-                    mesh_band=128, mesh_chunk=min(32768, cap), **mesh_kw)
+    if args.mesh_level is not None:
+        mesh_kw["mesh_level"] = args.mesh_level
+    if args.mesh_band is not None:
+        mesh_kw["mesh_band"] = args.mesh_band
+    if args.mesh_every is not None:
+        mesh_kw["pm_mesh_every"] = args.mesh_every
+    if args.heavy_cap is not None:
+        mesh_kw["pm_heavy_cap"] = args.heavy_cap
+    mesh_kw.setdefault("mesh_level", 11)
+    mesh_kw.setdefault("mesh_band", 128)
+    cfg = SimConfig(capacity=cap, max_depth=12,
+                    mesh_chunk=min(32768, cap), **mesh_kw)
     params = Params.default(theta=args.theta, merge_min_dist=0.0)
     if args.dt is not None:
         params = params.replace(dt=args.dt)

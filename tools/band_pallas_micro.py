@@ -17,10 +17,14 @@ import time
 
 def chained_time(fn, iters, label):
     import jax.numpy as jnp
+    # rebind s through the warm-ups so the timed chain starts from a value
+    # no prior call has seen (the tunnel memoizes identical calls —
+    # ADVICE r4: an unrebound warm-up made timed call #1 a cache hit)
     s = jnp.float32(1.000001)
-    float(fn(s))
-    float(fn(s * 1.000001))
-    float(fn(s * 1.000002))
+    s = fn(s)
+    float(s)
+    s = fn(s * 1.000001)
+    float(s)
     t0 = time.perf_counter()
     for _ in range(iters):
         s = fn(s * 1.000001)
@@ -85,24 +89,31 @@ def main():
             sp + s * 1e-6, sm, jnp.float32(soft2), jnp.float32(a))
         return acc[0, 0] + s
 
-    # numerical agreement first (same coverage + pair math -> tight)
-    ax = mesh_ops._band_short_range(spos, smass, jnp.float32(soft2), a,
-                                    band=cfg.mesh_band,
-                                    chunk=min(cfg.mesh_chunk, cap))
-    try:
+    # numerical agreement first, JITTED (eager is seconds-per-op on this
+    # backend — ADVICE r4; s=0 keeps the salted graphs reusable here)
+    @jax.jit
+    def agree(sp, sm):
+        ax = mesh_ops._band_short_range(
+            sp, sm, jnp.float32(soft2), a, band=cfg.mesh_band,
+            chunk=min(cfg.mesh_chunk, cap))
         apl = band_pallas.band_short_range_pallas(
-            spos, smass, jnp.float32(soft2), jnp.float32(a))
-        scale = float(jnp.max(jnp.abs(ax)))
-        err = float(jnp.max(jnp.abs(ax - apl))) / max(scale, 1e-30)
-        print(f"max |xla - pallas| / max|xla| = {err:.3e} "
-              f"(scale {scale:.3e})", flush=True)
+            sp, sm, jnp.float32(soft2), jnp.float32(a))
+        scale = jnp.max(jnp.abs(ax))
+        return jnp.max(jnp.abs(ax - apl)), scale
+
+    pallas_ok = True
+    try:
+        err, scale = agree(spos, smass)
+        print(f"max |xla - pallas| / max|xla| = "
+              f"{float(err) / max(float(scale), 1e-30):.3e} "
+              f"(scale {float(scale):.3e})", flush=True)
     except Exception as e:
         print(f"PALLAS COMPILE/RUN FAILED: {str(e)[:300]}", flush=True)
-        apl = None
+        pallas_ok = False
 
     t_x = chained_time(lambda s: xla_band(spos, smass, s), args.iters,
                        "xla band (lax.map blocks)")
-    if apl is not None:
+    if pallas_ok:
         t_p = chained_time(lambda s: pl_band(spos, smass, s), args.iters,
                            "pallas band (1024 tiles)")
         print(f"ratio pallas/xla = {t_p / t_x:.2f}x", flush=True)

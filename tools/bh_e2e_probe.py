@@ -8,6 +8,10 @@ bench engine and steps it with increasing scan lengths to locate the
 fault, timing whatever survives.
 
     python tools/bh_e2e_probe.py --n 1000000 --lengths 1 2 5 20
+
+``--mode stream`` (the default, round 5) steps via ``Engine.step_stream``
+— n single-step executables, no scan — which is how ``bench.py --solver
+bh`` runs at scale; ``--mode scan`` reproduces the original fault.
 """
 
 from __future__ import annotations
@@ -22,6 +26,7 @@ def main():
     ap.add_argument("--lengths", type=int, nargs="+", default=[1, 2, 5, 20])
     ap.add_argument("--trials", type=int, default=3)
     ap.add_argument("--theta", type=float, default=0.5)
+    ap.add_argument("--mode", default="stream", choices=["stream", "scan"])
     args = ap.parse_args()
 
     import jax
@@ -40,10 +45,12 @@ def main():
     n2 = n // 5
     eng.reset_default_scene(n1=n - n2, n2=n2)
 
+    advance = eng.step_stream if args.mode == "stream" else eng.step
+
     for L in args.lengths:
         t0 = time.perf_counter()
         try:
-            eng.step(L)
+            advance(L)
             float(eng.state.pos[0, 0])
         except Exception as e:
             print(f"len={L:3d}  FAULT after {time.perf_counter()-t0:.0f}s: "
@@ -53,7 +60,7 @@ def main():
         best = float("inf")
         for _ in range(args.trials):
             t0 = time.perf_counter()
-            eng.step(L)
+            advance(L)
             float(eng.state.pos[0, 0])
             best = min(best, time.perf_counter() - t0)
         print(f"len={L:3d}  ok  warmup {warm:6.1f}s  best "

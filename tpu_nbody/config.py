@@ -106,8 +106,12 @@ class SimConfig:
     mesh_split: float = 4.0        # short/long split radius in cell units
     mesh_band: int = 256           # sorted-order block size for F_short
     mesh_chunk: int = 16384        # bodies per band chunk (memory bound)
-    mesh_order: int = 2            # mass assignment: 2 = CIC, 1 = NGP (faster,
-                                   # ~20x noisier mesh force — see ops/mesh.py)
+    mesh_order: int = 2            # mass assignment: 2 = CIC (default),
+                                   # 3 = TSC (9 cells/body, continuous first
+                                   # derivative — lower assignment aliasing /
+                                   # Lz noise at ~2x deposit+interp cost),
+                                   # 1 = NGP (faster, ~20x noisier mesh
+                                   # force — see ops/mesh.py)
     mesh_deconvolve: bool = True   # bake the 1/What^2 assignment-window
                                    # sharpening into the spectral kernel
                                    # (classic P3M; measured 2.4x lower mean
@@ -154,6 +158,32 @@ class SimConfig:
                                    # paid once per resort interval, not per
                                    # force pass — engine._make_pm_sorted_step)
     pm_resort_every: int = 8       # steps between re-sorts in that mode
+    pm_mesh_every: int = 1         # F_long subcycling: refresh the deposited
+                                   # long-range force grids every this many
+                                   # steps; between refreshes each step still
+                                   # interpolates the (stale) grids at the
+                                   # bodies' CURRENT positions while band +
+                                   # rescue run fresh. The mesh field evolves
+                                   # on the bulk dynamical timescale, so the
+                                   # deposit+FFT (the dominant step cost at
+                                   # N=1M) amortizes over the interval.
+                                   # Honored on the pm + kdk_reuse
+                                   # persistent-sort path only; > 1 requires
+                                   # pm_heavy_cap > 0 (see ops/mesh.py
+                                   # pm_mesh_state for why heavies must not
+                                   # ride a stale mesh).
+    pm_heavy_cap: int = 0          # exclude the this-many heaviest alive
+                                   # bodies from the mesh and sum their
+                                   # F_long exactly every step (dense N x cap
+                                   # pair math, ~0.2 ms at N=1M, cap=16).
+                                   # Mandatory with pm_mesh_every > 1; also a
+                                   # pure accuracy upgrade on fresh passes
+                                   # (the dominant heavy force component
+                                   # becomes exact). 0 = everyone on the mesh.
+    pm_self_correct: bool = True   # subtract the analytic stale-grid
+                                   # self-term (a body's attraction toward
+                                   # its own deposited image) on subcycled
+                                   # steps; exact zero at refresh steps
     dtype: str = "float32"
 
     @property

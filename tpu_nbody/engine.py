@@ -220,7 +220,8 @@ def make_pm_accel(cfg: SimConfig):
             rescue_k=cfg.mesh_rescue,
             rescue_k_hot=cfg.mesh_rescue_hot,
             rescue_hot_cap=cfg.mesh_rescue_hot_cap, mesh_ny=cfg.mesh_ny,
-            return_stats=True, kernel=kernel)
+            return_stats=True, kernel=kernel,
+            heavy_cap=cfg.pm_heavy_cap)
         return acc, st
 
     accel.prepare = prepare
@@ -359,6 +360,141 @@ def _max_stats(a, b):
     return jax.tree.map(jnp.maximum, a, b)
 
 
+def _make_pm_subcycled_step(cfg: SimConfig, merge_heavy_cap: int) -> Callable:
+    """step_n for solver="pm" + kdk_reuse persistent sort with F_LONG
+    SUBCYCLING (``cfg.pm_mesh_every`` > 1) and/or HEAVY-DIRECT summation
+    (``cfg.pm_heavy_cap`` > 0).
+
+    Extends :func:`_make_pm_sorted_step`'s persistent-sort scan with a
+    second carried quantity: the long-range force grids
+    (:func:`tpu_nbody.ops.mesh.pm_mesh_state`). The deposit + FFT — the
+    dominant P3M step cost at N=1M — runs every ``pm_mesh_every`` steps
+    inside a ``lax.cond``; between refreshes each step interpolates the
+    stale grids at the bodies' CURRENT positions (the long-range field is
+    sourced by the smoothed mass distribution, which evolves on the bulk
+    dynamical timescale), subtracts the analytic stale self-term, and adds
+    the exact per-step direct force of the ``pm_heavy_cap`` heaviest bodies
+    (which are excluded from the mesh — a stale mesh self-image is
+    catastrophic at the reference's 50 000 central masses, see
+    ``pm_mesh_state``). Band + rescue (the fast-changing short-range
+    physics) stay per-step, as does the merge pass.
+    """
+    M = max(1, cfg.pm_mesh_every)
+    H = cfg.pm_heavy_cap
+    if M > 1 and H <= 0:
+        raise ValueError(
+            "pm_mesh_every > 1 requires pm_heavy_cap > 0: heavy bodies "
+            "riding a stale mesh feel their own deposited image as a "
+            "spurious self-force far exceeding their real acceleration "
+            "(ops/mesh.py pm_mesh_state).")
+    ox, oy = cfg.root_center
+    origin = (ox - cfg.root_half, oy - cfg.root_half)
+    side = 2.0 * cfg.root_half
+    K = max(1, cfg.pm_resort_every)
+    chunk = min(cfg.mesh_chunk, cfg.capacity)
+
+    def mesh_state_fn(spos, smass, salive, params, kernel):
+        return mesh_lib.pm_mesh_state(
+            spos, smass, salive, params.soft2, origin, side,
+            mesh_level=cfg.mesh_level, split_cells=cfg.mesh_split,
+            order=cfg.mesh_order, interlace=cfg.mesh_interlace,
+            mesh_ny=cfg.mesh_ny, heavy_cap=H,
+            deconvolve=cfg.mesh_deconvolve, kernel=kernel)
+
+    def accel_sorted(spos, smass, salive, params, kernel, ms):
+        return mesh_lib.pm_accel_sorted(
+            spos, smass, salive, params.G, params.soft2, origin, side,
+            mesh_level=cfg.mesh_level, split_cells=cfg.mesh_split,
+            band=cfg.mesh_band, chunk=chunk, order=cfg.mesh_order,
+            interlace=cfg.mesh_interlace,
+            rescue_k=cfg.mesh_rescue, rescue_k_hot=cfg.mesh_rescue_hot,
+            rescue_hot_cap=cfg.mesh_rescue_hot_cap, mesh_ny=cfg.mesh_ny,
+            kernel=kernel, mesh_state=ms, heavy_cap=H,
+            self_correct=cfg.pm_self_correct and M > 1)
+
+    def permute(state, o):
+        return state._replace(pos=state.pos[o], vel=state.vel[o],
+                              mass=state.mass[o], alive=state.alive[o])
+
+    def permute_ms(ms, o):
+        grids, dep_pos, dep_wmass, heavy_mask = ms
+        return grids, dep_pos[o], dep_wmass[o], heavy_mask[o]
+
+    def sort_order(state):
+        codes = morton.hilbert_codes(state.pos, origin, side, state.alive)
+        return jnp.argsort(codes, stable=True)
+
+    @jax.jit
+    def seed_fn(state: SimState, params: Params):
+        kernel = mesh_lib.kernel_hats_for(
+            side, params.soft2, mesh_level=cfg.mesh_level,
+            split_cells=cfg.mesh_split, mesh_ny=cfg.mesh_ny,
+            dtype=cfg.jdtype, order=cfg.mesh_order,
+            deconvolve=cfg.mesh_deconvolve)
+        perm = sort_order(state)
+        state = permute(state, perm)
+        ms = mesh_state_fn(state.pos, state.mass, state.alive, params,
+                           kernel)
+        acc0, need0 = accel_sorted(state.pos, state.mass, state.alive,
+                                   params, kernel, ms)
+        return state, perm, ms, acc0, need0, kernel
+
+    @functools.partial(jax.jit, static_argnames=("n_steps",))
+    def loop_fn(state, perm, ms, acc, need0, kernel, params, n_steps: int):
+        def one(carry, i):
+            (state, acc, perm, ms, heavy_max, resc_max, hot_max,
+             oob_max) = carry
+            half = params.dt * 0.5
+            vel = state.vel + acc * half
+            pos = state.pos + vel * params.dt
+            if M > 1:
+                ms = jax.lax.cond(
+                    i % M == 0,
+                    lambda op: mesh_state_fn(op[0], op[1], op[2], params,
+                                             kernel),
+                    lambda op: ms,
+                    (pos, state.mass, state.alive))
+            else:
+                ms = mesh_state_fn(pos, state.mass, state.alive, params,
+                                   kernel)
+            a2, (need, hot, oob) = accel_sorted(pos, state.mass,
+                                                state.alive, params,
+                                                kernel, ms)
+            vel = vel + a2 * half
+            state = state._replace(pos=pos, vel=vel, step=state.step + 1)
+            state, heavy = merge_bodies(state, params,
+                                        heavy_cap=merge_heavy_cap)
+
+            def resort(st, a, p, m):
+                o = sort_order(st)
+                return permute(st, o), a[o], p[o], permute_ms(m, o)
+
+            state, a2, perm, ms = jax.lax.cond(
+                (i + 1) % K == 0, resort,
+                lambda st, a, p, m: (st, a, p, m),
+                state, a2, perm, ms)
+            return (state, a2, perm, ms, jnp.maximum(heavy_max, heavy),
+                    jnp.maximum(resc_max, need),
+                    jnp.maximum(hot_max, hot),
+                    jnp.maximum(oob_max, oob)), None
+
+        init = (state, acc, perm, ms, jnp.int32(0)) + need0
+        (state, acc, perm, ms, heavy, resc, hot, oob), _ = jax.lax.scan(
+            one, init, jnp.arange(n_steps))
+        state = permute(state, jnp.argsort(perm))
+        return state, {"trav": None, "heavy_need": heavy,
+                       "rescue_need": resc, "rescue_hot": hot,
+                       "mesh_oob": oob}
+
+    def step_n(state: SimState, params: Params, n_steps: int = 1):
+        state, perm, ms, acc0, need0, kernel = seed_fn(state, params)
+        return loop_fn(state, perm, ms, acc0, need0, kernel, params,
+                       n_steps=n_steps)
+
+    step_n.max_stats = _max_stats
+    return step_n
+
+
 def make_step_fn(cfg: SimConfig, caps: Caps, solver: str, integrator: str,
                  strict_parity: bool, merge_heavy_cap: int,
                  allpairs_impl: str = "auto") -> Callable:
@@ -369,7 +505,15 @@ def make_step_fn(cfg: SimConfig, caps: Caps, solver: str, integrator: str,
     traversal caps and the merge heavy cap on overflow.
     """
     if solver == "pm" and integrator == "kdk_reuse" and cfg.pm_persistent_sort:
+        if max(1, cfg.pm_mesh_every) > 1 or cfg.pm_heavy_cap > 0:
+            return _make_pm_subcycled_step(cfg, merge_heavy_cap)
         return _make_pm_sorted_step(cfg, merge_heavy_cap)
+    if solver == "pm" and max(1, cfg.pm_mesh_every) > 1:
+        raise ValueError(
+            "pm_mesh_every > 1 (F_long subcycling) is only supported on "
+            "the pm + kdk_reuse persistent-sort path (the carried grids "
+            "live in its scan); use integrator='kdk_reuse' with "
+            "pm_persistent_sort=True.")
     if (solver == "bh" and integrator == "kdk"
             and cfg.capacity >= TWIN_TRAVERSAL_MIN_CAP
             and not cfg.bh_allow_twin_traversal):

@@ -523,39 +523,53 @@ def _deposit_packed(smass, base, w, nw, grid, run_compress: bool = False,
     return jax.lax.dynamic_update_slice(rho, world, (0, 0))
 
 
-def _interp_packed(fx, fy, base, w, nw, ny=None):
-    """Force interpolation with ONE row-gather per body.
+def _interp_table(fx, fy, nw, order, ny=None):
+    """Pack the force-grid windows into per-cell interpolation rows.
 
-    The (fx, fy) values of all 4 CIC cells are pre-packed into (nw^2, 8)
-    rows by dense shifted slices of the force grids, so each body fetches
-    one 8-lane row instead of 4 two-lane gathers (~6x cheaper at N=1M).
-    Must mirror :func:`_deposit_packed`'s assignment exactly so the odd
-    kernel's self-force cancels.
+    The (fx, fy) values of every cell a body of the given assignment order
+    touches are packed into one (ny*nw, 2K) row-major table by dense
+    shifted slices of the force grids (K = 1 NGP / 4 CIC / 9 TSC cells),
+    so each body later fetches ONE 2K-lane row instead of K two-lane
+    gathers (~6x cheaper at N=1M). Split from :func:`_interp_rows` so a
+    subcycled step loop can build the ~268 MB table once per mesh refresh
+    and pay only the row gather per step (the table build's dense HBM
+    traffic was most of the interp phase's gap to its gather ceiling).
     """
-    K = w.shape[1]
     ny = nw if ny is None else ny
     sl = lambda gz, dy, dx: jax.lax.dynamic_slice(gz, (dy, dx), (ny, nw))
-    if K == 1:
+    if order == 1:
         F = jnp.stack([sl(fx, 0, 0), sl(fy, 0, 0)], axis=-1)
-        rows = F.reshape(ny * nw, 2)[base]
-        return rows * w[:, 0:1]
-    if K == 9:
-        # TSC: one 18-lane row per body (9 cells x 2 components)
+        return F.reshape(ny * nw, 2)
+    if order == 3:
         F = jnp.stack([s for oy in range(3) for ox in range(3)
                        for s in (sl(fx, oy, ox), sl(fy, oy, ox))], axis=-1)
-        rows = F.reshape(ny * nw, 18)[base]         # (n, 18) single gather
-        ax = sum(w[:, k] * rows[:, 2 * k] for k in range(9))
-        ay = sum(w[:, k] * rows[:, 2 * k + 1] for k in range(9))
-        return jnp.stack([ax, ay], axis=-1)
+        return F.reshape(ny * nw, 18)
     F = jnp.stack([sl(fx, 0, 0), sl(fy, 0, 0), sl(fx, 0, 1), sl(fy, 0, 1),
                    sl(fx, 1, 0), sl(fy, 1, 0), sl(fx, 1, 1), sl(fy, 1, 1)],
                   axis=-1)
-    rows = F.reshape(ny * nw, 8)[base]              # (n, 8) single gather
-    ax = (w[:, 0] * rows[:, 0] + w[:, 1] * rows[:, 2]
-          + w[:, 2] * rows[:, 4] + w[:, 3] * rows[:, 6])
-    ay = (w[:, 0] * rows[:, 1] + w[:, 1] * rows[:, 3]
-          + w[:, 2] * rows[:, 5] + w[:, 3] * rows[:, 7])
+    return F.reshape(ny * nw, 8)
+
+
+def _interp_rows(F, base, w):
+    """One row-gather per body from a packed :func:`_interp_table`."""
+    K = w.shape[1]
+    rows = F[base]                                  # (n, 2K) single gather
+    if K == 1:
+        return rows * w[:, 0:1]
+    ax = sum(w[:, k] * rows[:, 2 * k] for k in range(K))
+    ay = sum(w[:, k] * rows[:, 2 * k + 1] for k in range(K))
     return jnp.stack([ax, ay], axis=-1)
+
+
+def _interp_packed(fx, fy, base, w, nw, ny=None):
+    """Force interpolation with ONE row-gather per body.
+
+    Must mirror :func:`_deposit_packed`'s assignment exactly so the odd
+    kernel's self-force cancels. See :func:`_interp_table` /
+    :func:`_interp_rows` for the split used by the subcycled path.
+    """
+    order = {1: 1, 4: 2, 9: 3}[w.shape[1]]
+    return _interp_rows(_interp_table(fx, fy, nw, order, ny=ny), base, w)
 
 
 def _conv_potential(rho, phi_hat, ny, grid, grid_y, extra=0):
@@ -579,17 +593,18 @@ def _conv_potential(rho, phi_hat, ny, grid, grid_y, extra=0):
     return jnp.fft.irfft(rows, n=grid, axis=1)
 
 
-def _mesh_force(spos, smass, origin, h, nw, grid, soft2, a, order, kernel,
-                ny=None):
-    """Deposit -> FFT convolution -> interpolate, for one grid registration.
+def _mesh_grids_one(spos, smass, origin, h, nw, grid, order, kernel,
+                    ny=None):
+    """Deposit -> FFT convolution -> FD gradient, for one grid registration.
 
-    Deposit and interpolation MUST use the same assignment scheme: for the
-    odd force kernel, symmetric deposit/interp makes the self-force cancel
-    exactly (mixed schemes leave a large spurious self-kick).
-
-    ``ny``: rectangular world-grid rows (columns stay nw; same cell size).
-    The padded FFT grid is (2*ny, 2*nw) and ``kernel`` must be built for it
-    (``kernel_hats_for(..., mesh_ny=ny)``).
+    Returns the force-grid windows ``(fx, fy)`` of shape (ny+1+reach,
+    nw+1+reach) — the long-range force field sampled at world cell corners,
+    ready for :func:`_mesh_interp_one`. Split out of the fused
+    deposit+interp path so a step loop can REUSE the grids across several
+    steps (``pm_mesh_every`` subcycling: F_long is smooth in time — the
+    source distribution evolves on the bulk dynamical timescale, so the
+    grids can be stale while each step still interpolates at the bodies'
+    CURRENT positions).
     """
     ny = nw if ny is None else ny
     grid_y = grid if ny == nw else 2 * ny
@@ -621,7 +636,156 @@ def _mesh_force(spos, smass, origin, h, nw, grid, soft2, a, order, kernel,
     fy = (c1 * (pw[4:4 + my, 3:3 + mx] - pw[2:2 + my, 3:3 + mx])
           - c2 * (pw[5:5 + my, 3:3 + mx] - pw[1:1 + my, 3:3 + mx])
           + c3 * (pw[6:6 + my, 3:3 + mx] - pw[0:0 + my, 3:3 + mx]))
+    return fx, fy
+
+
+def _mesh_interp_one(grids, spos, origin, h, nw, order, ny=None):
+    """Interpolate precomputed force grids at the given positions."""
+    fx, fy = grids
+    base, w = _cic_cells(spos, origin, h, nw, order, ny=ny)
     return _interp_packed(fx, fy, base, w, nw, ny=ny)
+
+
+def _mesh_force(spos, smass, origin, h, nw, grid, soft2, a, order, kernel,
+                ny=None):
+    """Deposit -> FFT convolution -> interpolate, for one grid registration.
+
+    Deposit and interpolation MUST use the same assignment scheme: for the
+    odd force kernel, symmetric deposit/interp makes the self-force cancel
+    exactly (mixed schemes leave a large spurious self-kick).
+
+    ``ny``: rectangular world-grid rows (columns stay nw; same cell size).
+    The padded FFT grid is (2*ny, 2*nw) and ``kernel`` must be built for it
+    (``kernel_hats_for(..., mesh_ny=ny)``).
+    """
+    grids = _mesh_grids_one(spos, smass, origin, h, nw, grid, order, kernel,
+                            ny=ny)
+    return _mesh_interp_one(grids, spos, origin, h, nw, order, ny=ny)
+
+
+def _pm_geometry(origin, root_side, mesh_level, mesh_ny, split_cells, dtype):
+    """Shared mesh geometry: (nw, ny, grid, grid_y, h, a, morigin).
+
+    ``morigin`` is the world-grid origin — equal to the root origin for a
+    square mesh, shifted to vertically center the ``mesh_ny``-row window on
+    the root center for a rectangular one.
+    """
+    origin = jnp.asarray(origin, dtype)
+    root_side = jnp.asarray(root_side, dtype)
+    nw = 1 << mesh_level
+    ny = mesh_ny or nw
+    grid = 2 * nw
+    grid_y = grid if ny == nw else 2 * ny
+    h = root_side / nw
+    a = split_cells * h
+    if ny != nw:
+        oy = origin[1] + 0.5 * root_side - 0.5 * ny * h
+        morigin = jnp.stack([origin[0], oy])
+    else:
+        morigin = origin
+    return nw, ny, grid, grid_y, h, a, morigin
+
+
+def pm_mesh_state(spos, smass, salive, soft2, origin, root_side, *,
+                  mesh_level: int, split_cells: float, order: int = 2,
+                  interlace: bool = False, mesh_ny: int = 0,
+                  heavy_cap: int = 0, deconvolve: bool = True, kernel=None):
+    """Build the carried long-range mesh state for F_long subcycling.
+
+    Returns ``(grids, dep_pos, dep_wmass, heavy_mask)``:
+
+    * ``grids`` — tuple of one (or two, with ``interlace``) PACKED
+      interpolation tables (:func:`_interp_table` of the
+      :func:`_mesh_grids_one` force windows): packing once per refresh
+      leaves only the per-body row gather on the per-step path;
+    * ``dep_pos`` — the positions the deposit saw (for the stale-step
+      self-term subtraction);
+    * ``dep_wmass`` — the per-body mass actually deposited (alive-zeroed,
+      heavies excluded);
+    * ``heavy_mask`` — (n,) bool marking the ``heavy_cap`` heaviest alive
+      bodies, which are EXCLUDED from the deposit and must instead get
+      their F_long from :func:`_heavy_direct` each step.
+
+    Why heavies leave the mesh: a body interpolating a STALE grid feels its
+    own deposited image at displacement δ = x_now − x_dep — a spurious
+    self-force ∝ m·K_long(δ). For satellite masses (~1) that is ~1e-4 of
+    their real acceleration, but for the reference's 50 000-mass disk
+    centers (Config.kt CENTRAL_MASS) it exceeds their real acceleration by
+    orders of magnitude within one step. Exact direct summation of the few
+    heaviest bodies (classic P3M heavy-particle treatment) removes the
+    artifact at its source AND makes the dominant force component exact —
+    N x heavy_cap dense pair math, ~0.2 ms at N=1M, H=16.
+    """
+    dtype = spos.dtype
+    nw, ny, grid, _, h, a, morigin = _pm_geometry(
+        origin, root_side, mesh_level, mesh_ny, split_cells, dtype)
+    del a
+    smass_w = jnp.where(salive, smass, jnp.zeros_like(smass))
+    cap = spos.shape[0]
+    if heavy_cap:
+        key = jnp.where(salive, smass_w, -jnp.ones_like(smass_w))
+        kv, hidx = jax.lax.top_k(key, heavy_cap)
+        heavy_mask = (jnp.zeros((cap,), bool)
+                      .at[hidx].set(kv > -0.5, mode="drop"))
+    else:
+        heavy_mask = jnp.zeros((cap,), bool)
+    dep_wmass = jnp.where(heavy_mask, jnp.zeros_like(smass_w), smass_w)
+    if kernel is None:
+        a_ = split_cells * h
+        kernel = _kernel_hats(grid, h, soft2, a_, dtype,
+                              grid_y=2 * ny if ny != nw else None,
+                              deconv_order=order if deconvolve else 0)
+    def table(origin_):
+        fx, fy = _mesh_grids_one(spos, dep_wmass, origin_, h, nw, grid,
+                                 order, kernel, ny=ny)
+        return _interp_table(fx, fy, nw, order, ny=ny)
+
+    grids = (table(morigin),)
+    if interlace:
+        grids = grids + (table(morigin - 0.5 * h),)
+    return grids, spos, dep_wmass, heavy_mask
+
+
+def _self_term(spos, dep_pos, dep_wmass, soft2, a):
+    """Analytic stale-grid self-force cancellation (per body, O(n)).
+
+    A body interpolating a stale grid feels its own deposited image:
+    ≈ −m_dep·δ·lf(δ)/(|δ|²+ε²)^1.5 with δ = x_now − x_dep (attraction
+    toward its old position; the deconvolved grid kernel ≈ the continuum
+    K_long). Returning +m_dep·δ·lf·inv³ cancels it to leading order. Zero
+    by construction at refresh steps (δ = 0) and quartically suppressed for
+    |δ| ≪ a by the (r/a)^4 switch.
+    """
+    d = spos - dep_pos
+    r2 = jnp.sum(d * d, axis=1)
+    inv = jax.lax.rsqrt(r2 + soft2)
+    w = dep_wmass * (inv * inv * inv)
+    w = w * (1.0 - jnp.exp(-((r2 / (a * a)) ** 2)))
+    return w[:, None] * d
+
+
+def _heavy_direct(spos, smass, salive, heavy_mask, soft2, a, heavy_cap):
+    """Exact F_long from the ``heavy_cap`` masked heavy bodies, fresh.
+
+    Dense (n x heavy_cap) pair math at current positions — the heavies'
+    long-range force never goes stale and never touches the grid (their
+    short-range part rides the band/rescue passes like everyone else's,
+    because only the DEPOSIT excluded them). Self-pairs vanish exactly
+    (K_long(0) = 0).
+    """
+    key = jnp.where(heavy_mask, smass, -jnp.ones_like(smass))
+    kv, hidx = jax.lax.top_k(key, heavy_cap)
+    valid = (kv > -0.5) & salive[hidx]
+    hp = spos[hidx]
+    hm = jnp.where(valid, smass[hidx], 0.0)
+    dx = spos[:, 0:1] - hp[None, :, 0]          # (n, H)
+    dy = spos[:, 1:2] - hp[None, :, 1]
+    r2 = dx * dx + dy * dy
+    inv = jax.lax.rsqrt(r2 + soft2)
+    w = hm[None, :] * (inv * inv * inv)
+    w = w * (1.0 - jnp.exp(-((r2 / (a * a)) ** 2)))
+    return -jnp.stack([jnp.sum(w * dx, axis=1),
+                       jnp.sum(w * dy, axis=1)], axis=-1)
 
 
 def pm_accel_sorted(spos, smass, salive, G, soft2, origin, root_side, *,
@@ -629,7 +793,9 @@ def pm_accel_sorted(spos, smass, salive, G, soft2, origin, root_side, *,
                     chunk: int, order: int = 2, interlace: bool = False,
                     rescue_k: int = 0, rescue_k_hot: int = 0,
                     rescue_hot_cap: int = 128, mesh_ny: int = 0,
-                    deconvolve: bool = True, kernel=None):
+                    deconvolve: bool = True, kernel=None,
+                    mesh_state=None, heavy_cap: int = 0,
+                    self_correct: bool = True):
     """P3M acceleration in the Hilbert-SORTED frame: (n, 2) -> (n, 2).
 
     The body arrays must already be in Hilbert order over the root quad
@@ -648,35 +814,63 @@ def pm_accel_sorted(spos, smass, salive, G, soft2, origin, root_side, *,
     outside the y window clamp to the edge rows (the same bounded
     approximation out-of-root bodies always got) and are counted in the
     ``mesh_oob`` stat so callers can detect a mis-sized window.
+
+    ``mesh_state``: a carried :func:`pm_mesh_state` result — skips the
+    deposit + FFT and interpolates the (possibly STALE) grids at the
+    CURRENT positions instead, plus the stale self-term cancellation
+    (``self_correct``) and the fresh heavy-direct sum. This is the F_long
+    subcycling fast path: the long-range field evolves on the bulk
+    dynamical timescale, so the grids can be refreshed every K steps while
+    band + rescue (the fast-changing short-range physics) stay per-step.
+    ``heavy_cap`` must match the value the state was built with.
     """
     dtype = spos.dtype
-    origin = jnp.asarray(origin, dtype)
-    root_side = jnp.asarray(root_side, dtype)
-    nw = 1 << mesh_level
-    ny = mesh_ny or nw
-    grid = 2 * nw
-    h = root_side / nw
-    a = split_cells * h
+    nw, ny, grid, _, h, a, morigin = _pm_geometry(
+        origin, root_side, mesh_level, mesh_ny, split_cells, dtype)
     smass = jnp.where(salive, smass, 0.0)
     mesh_oob = jnp.int32(0)
     if ny != nw:
-        oy = origin[1] + 0.5 * root_side - 0.5 * ny * h
-        morigin = jnp.stack([origin[0], oy])
-        sy = (spos[:, 1] - oy) / h
+        sy = (spos[:, 1] - morigin[1]) / h
         mesh_oob = jnp.sum(salive & ((sy < 0.0) | (sy >= ny))
                            ).astype(jnp.int32)
-    else:
-        morigin = origin
 
-    if kernel is None:
-        kernel = _kernel_hats(grid, h, soft2, a, dtype, grid_y=2 * ny,
-                              deconv_order=order if deconvolve else 0)
-    acc_mesh = _mesh_force(spos, smass, morigin, h, nw, grid, soft2, a,
-                           order, kernel, ny=ny)
-    if interlace:
-        acc_mesh = 0.5 * (acc_mesh + _mesh_force(
-            spos, smass, morigin - 0.5 * h, h, nw, grid, soft2, a, order,
-            kernel, ny=ny))
+    if mesh_state is None and heavy_cap == 0:
+        # Fresh full pass, everyone on the mesh (the default path).
+        if kernel is None:
+            kernel = _kernel_hats(grid, h, soft2, a, dtype, grid_y=2 * ny,
+                                  deconv_order=order if deconvolve else 0)
+        acc_mesh = _mesh_force(spos, smass, morigin, h, nw, grid, soft2, a,
+                               order, kernel, ny=ny)
+        if interlace:
+            acc_mesh = 0.5 * (acc_mesh + _mesh_force(
+                spos, smass, morigin - 0.5 * h, h, nw, grid, soft2, a, order,
+                kernel, ny=ny))
+    else:
+        # Subcycled / heavy-direct path: F_long from (possibly stale)
+        # carried grids + fresh analytic heavy sum + stale self-term
+        # cancellation. With mesh_state=None the state is built fresh here
+        # (heavy_cap > 0 without subcycling: pure accuracy upgrade — the
+        # dominant heavy force component becomes exact).
+        if mesh_state is None:
+            mesh_state = pm_mesh_state(
+                spos, smass, salive, soft2, origin, root_side,
+                mesh_level=mesh_level, split_cells=split_cells, order=order,
+                interlace=interlace, mesh_ny=mesh_ny, heavy_cap=heavy_cap,
+                deconvolve=deconvolve, kernel=kernel)
+        grids, dep_pos, dep_wmass, heavy_mask = mesh_state
+        base, w = _cic_cells(spos, morigin, h, nw, order, ny=ny)
+        acc_mesh = _interp_rows(grids[0], base, w)
+        if interlace:
+            base2, w2 = _cic_cells(spos, morigin - 0.5 * h, h, nw, order,
+                                   ny=ny)
+            acc_mesh = 0.5 * (acc_mesh + _interp_rows(grids[1], base2, w2))
+        if self_correct:
+            acc_mesh = acc_mesh + _self_term(spos, dep_pos, dep_wmass,
+                                             soft2, a)
+        if heavy_cap:
+            acc_mesh = acc_mesh + _heavy_direct(spos, smass, salive,
+                                                heavy_mask, soft2, a,
+                                                heavy_cap)
 
     acc_short = _band_short_range(spos, smass, soft2, a, band=band,
                                   chunk=chunk)
@@ -697,13 +891,14 @@ def pm_accel_sorted(spos, smass, salive, G, soft2, origin, root_side, *,
                                               "interlace", "rescue_k",
                                               "rescue_k_hot",
                                               "rescue_hot_cap", "mesh_ny",
-                                              "deconvolve", "return_stats"))
+                                              "deconvolve", "return_stats",
+                                              "heavy_cap"))
 def pm_accel(pos, mass, alive, G, soft2, origin, root_side, *,
              mesh_level: int, split_cells: float, band: int, chunk: int,
              order: int = 2, interlace: bool = False, rescue_k: int = 0,
              rescue_k_hot: int = 0, rescue_hot_cap: int = 128,
              mesh_ny: int = 0, deconvolve: bool = True,
-             return_stats: bool = False, kernel=None):
+             return_stats: bool = False, kernel=None, heavy_cap: int = 0):
     """P3M acceleration, original body order. (n, 2) -> (n, 2).
 
     mesh_level: world grid is 2^level x 2^level over the root quad; the FFT
@@ -730,6 +925,11 @@ def pm_accel(pos, mass, alive, G, soft2, origin, root_side, *,
     kernel: optional precomputed :func:`kernel_hats_for` result; when None
     the kernel FFTs are recomputed per call (fine for one-shot use, wasteful
     inside a step loop).
+    heavy_cap: when > 0, the heavy_cap heaviest alive bodies are EXCLUDED
+    from the mesh and their F_long is summed exactly instead
+    (:func:`_heavy_direct`) — the dominant heavy force component becomes
+    exact. Required for F_long subcycling (see :func:`pm_mesh_state`); a
+    pure accuracy upgrade on fresh passes too.
     """
     spos, smass, salive, unsort = _hilbert_sort(pos, mass, alive, origin,
                                                 root_side)
@@ -738,7 +938,8 @@ def pm_accel(pos, mass, alive, G, soft2, origin, root_side, *,
         mesh_level=mesh_level, split_cells=split_cells, band=band,
         chunk=chunk, order=order, interlace=interlace, rescue_k=rescue_k,
         rescue_k_hot=rescue_k_hot, rescue_hot_cap=rescue_hot_cap,
-        mesh_ny=mesh_ny, deconvolve=deconvolve, kernel=kernel)
+        mesh_ny=mesh_ny, deconvolve=deconvolve, kernel=kernel,
+        heavy_cap=heavy_cap)
     out = acc[unsort]
     if return_stats:
         return out, {"rescue_need": rescue_need, "rescue_hot": hot_count,
