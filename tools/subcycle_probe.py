@@ -70,9 +70,13 @@ def exp_acc(args):
     soft2 = jnp.float32(1.0)
     G = 80.0
     smax = max(args.stale)
-    # warm the scene a little so velocities are realistic, then record
-    # states X_0 .. X_smax along the true trajectory
+    M = args.interval or (smax + 1)
+    # warm the scene a little so velocities are realistic; record a state
+    # one refresh interval BEFORE the build point (for the extrapolation
+    # slope), then states X_0 .. X_smax along the true trajectory
     eng.step(3)
+    prev_state = eng.state
+    eng.step(M)
     states = [eng.state]
     for _ in range(smax):
         eng.step(1)
@@ -88,24 +92,28 @@ def exp_acc(args):
         side, soft2, mesh_level=cfg.mesh_level, split_cells=cfg.mesh_split,
         mesh_ny=cfg.mesh_ny, order=cfg.mesh_order)
 
-    @functools.partial(jax.jit, static_argnames=("heavy_cap",))
-    def build_state(pos, mass, alive, heavy_cap):
+    @functools.partial(jax.jit, static_argnames=("heavy_cap", "has_prev"))
+    def build_state(pos, mass, alive, heavy_cap, prev=None,
+                    has_prev=False):
         return mesh_ops.pm_mesh_state(
             pos[perm], jnp.where(alive, mass, 0.0)[perm], alive[perm],
             soft2, origin, side, mesh_level=cfg.mesh_level,
             split_cells=cfg.mesh_split, mesh_ny=cfg.mesh_ny,
-            heavy_cap=heavy_cap, kernel=kern)
+            heavy_cap=heavy_cap, kernel=kern,
+            prev=prev[0] if has_prev else None)
 
     @functools.partial(jax.jit,
                        static_argnames=("heavy_cap", "self_correct"))
-    def stale_force(pos, mass, alive, ms, heavy_cap, self_correct):
+    def stale_force(pos, mass, alive, ms, heavy_cap, self_correct,
+                    frac=0.0):
         sp = pos[perm]
         acc, _ = mesh_ops.pm_accel_sorted(
             sp, mass[perm], alive[perm], G, soft2, origin, side,
             mesh_level=cfg.mesh_level, split_cells=cfg.mesh_split,
             band=cfg.mesh_band, chunk=cfg.mesh_chunk,
             rescue_k=cfg.mesh_rescue, mesh_ny=cfg.mesh_ny, kernel=kern,
-            mesh_state=ms, heavy_cap=heavy_cap, self_correct=self_correct)
+            mesh_state=ms, heavy_cap=heavy_cap, self_correct=self_correct,
+            stale_frac=jnp.float32(frac))
         return acc[jnp.argsort(perm)]
 
     @jax.jit
@@ -140,12 +148,21 @@ def exp_acc(args):
            fresh_force(st0.pos, st0.mass, st0.alive), exact[0], st0.alive)
     for H in args.heavies:
         ms = build_state(st0.pos, st0.mass, st0.alive, H)
+        msp = build_state(prev_state.pos, prev_state.mass,
+                          prev_state.alive, H)
+        mse = build_state(st0.pos, st0.mass, st0.alive, H, prev=msp,
+                          has_prev=True)
         jax.block_until_ready(ms[1])
         for s in sorted(set(args.stale)):
             st = states[s]
-            report(f"H={H} stale={s} selfcorr",
+            report(f"H={H} stale={s} plain",
                    stale_force(st.pos, st.mass, st.alive, ms, H, True),
                    exact[s], st.alive)
+            if s:
+                report(f"H={H} stale={s} extrap(M={M})",
+                       stale_force(st.pos, st.mass, st.alive, mse, H,
+                                   True, frac=s / M),
+                       exact[s], st.alive)
         s = max(args.stale)
         st = states[s]
         report(f"H={H} stale={s} NO-selfcorr",
@@ -181,6 +198,9 @@ def main():
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--n", type=int, default=1_000_000)
     ap.add_argument("--stale", type=int, nargs="+", default=[0, 1, 3, 7])
+    ap.add_argument("--interval", type=int, default=0,
+                    help="acc: emulated refresh interval M for the "
+                         "extrapolated rows (0 = max stale + 1)")
     ap.add_argument("--heavies", type=int, nargs="+", default=[16])
     ap.add_argument("--ks", type=int, nargs="+", default=[1, 2, 4, 8])
     ap.add_argument("--steps", type=int, default=20)

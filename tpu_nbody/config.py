@@ -184,6 +184,18 @@ class SimConfig:
                                    # self-term (a body's attraction toward
                                    # its own deposited image) on subcycled
                                    # steps; exact zero at refresh steps
+    pm_mesh_extrapolate: bool = False  # pm_mesh_every > 1: carry [T | ΔT]
+                                   # tables and extrapolate T + (age/M)·ΔT
+                                   # per step. MEASURED WORSE than plain
+                                   # stale tables on the two-disk scene
+                                   # (N=100k: stale=1 3.0e-3 vs 2.7e-3,
+                                   # stale=7 1.25e-2 vs 8.0e-3,
+                                   # tools/subcycle_probe.py): the
+                                   # staleness error is dominated by
+                                   # fast-ORBITING perturbers near the
+                                   # cores (periods ~14 steps), which
+                                   # linear extrapolation overshoots.
+                                   # Kept as a knob for smoother scenes.
     dtype: str = "float32"
 
     @property

@@ -393,15 +393,18 @@ def _make_pm_subcycled_step(cfg: SimConfig, merge_heavy_cap: int) -> Callable:
     K = max(1, cfg.pm_resort_every)
     chunk = min(cfg.mesh_chunk, cfg.capacity)
 
-    def mesh_state_fn(spos, smass, salive, params, kernel):
+    extrap = cfg.pm_mesh_extrapolate and M > 1
+
+    def mesh_state_fn(spos, smass, salive, params, kernel, prev=None):
         return mesh_lib.pm_mesh_state(
             spos, smass, salive, params.soft2, origin, side,
             mesh_level=cfg.mesh_level, split_cells=cfg.mesh_split,
             order=cfg.mesh_order, interlace=cfg.mesh_interlace,
             mesh_ny=cfg.mesh_ny, heavy_cap=H,
-            deconvolve=cfg.mesh_deconvolve, kernel=kernel)
+            deconvolve=cfg.mesh_deconvolve, kernel=kernel, prev=prev)
 
-    def accel_sorted(spos, smass, salive, params, kernel, ms):
+    def accel_sorted(spos, smass, salive, params, kernel, ms,
+                     stale_frac=None):
         return mesh_lib.pm_accel_sorted(
             spos, smass, salive, params.G, params.soft2, origin, side,
             mesh_level=cfg.mesh_level, split_cells=cfg.mesh_split,
@@ -410,7 +413,8 @@ def _make_pm_subcycled_step(cfg: SimConfig, merge_heavy_cap: int) -> Callable:
             rescue_k=cfg.mesh_rescue, rescue_k_hot=cfg.mesh_rescue_hot,
             rescue_hot_cap=cfg.mesh_rescue_hot_cap, mesh_ny=cfg.mesh_ny,
             kernel=kernel, mesh_state=ms, heavy_cap=H,
-            self_correct=cfg.pm_self_correct and M > 1)
+            self_correct=cfg.pm_self_correct and M > 1,
+            stale_frac=stale_frac)
 
     def permute(state, o):
         return state._replace(pos=state.pos[o], vel=state.vel[o],
@@ -434,7 +438,7 @@ def _make_pm_subcycled_step(cfg: SimConfig, merge_heavy_cap: int) -> Callable:
         perm = sort_order(state)
         state = permute(state, perm)
         ms = mesh_state_fn(state.pos, state.mass, state.alive, params,
-                           kernel)
+                           kernel, prev="zero" if extrap else None)
         acc0, need0 = accel_sorted(state.pos, state.mass, state.alive,
                                    params, kernel, ms)
         return state, perm, ms, acc0, need0, kernel
@@ -450,16 +454,20 @@ def _make_pm_subcycled_step(cfg: SimConfig, merge_heavy_cap: int) -> Callable:
             if M > 1:
                 ms = jax.lax.cond(
                     i % M == 0,
-                    lambda op: mesh_state_fn(op[0], op[1], op[2], params,
-                                             kernel),
+                    lambda op: mesh_state_fn(
+                        op[0], op[1], op[2], params, kernel,
+                        prev=ms[0] if extrap else None),
                     lambda op: ms,
                     (pos, state.mass, state.alive))
+                frac = (i % M).astype(cfg.jdtype) / M
             else:
                 ms = mesh_state_fn(pos, state.mass, state.alive, params,
                                    kernel)
+                frac = None
             a2, (need, hot, oob) = accel_sorted(pos, state.mass,
                                                 state.alive, params,
-                                                kernel, ms)
+                                                kernel, ms,
+                                                stale_frac=frac)
             vel = vel + a2 * half
             state = state._replace(pos=pos, vel=vel, step=state.step + 1)
             state, heavy = merge_bodies(state, params,
