@@ -358,3 +358,29 @@ def test_rect_mesh_matches_square():
                            80.0, 1.0, origin, side, mesh_ny=256,
                            return_stats=True, **kw)
     assert int(st2["mesh_oob"]) >= 50
+
+def test_poly4_switch_matches_exp4_accuracy():
+    """mesh_switch="poly4" (compact polynomial split) must match the exp4
+    split's accuracy: both sides of the split consult the SAME switch (the
+    spectral kernel samples 1-w), so the choice only moves work between
+    F_short and F_long, not the total (ops/mesh.py _short_weight)."""
+    n, cap = 2000, 2048
+    p, v, m = scenes.make_galaxy_disk(jax.random.PRNGKey(42), n, r=300.0)
+    pos = jnp.zeros((cap, 2)).at[:n].set(p)
+    mass = jnp.zeros((cap,)).at[:n].set(m)
+    alive = jnp.arange(cap) < n
+    cfg = SimConfig(capacity=cap)
+    origin, side = _origin_side(cfg)
+    ref = forces.accel_allpairs(pos, mass, 80.0, 1.0, implementation="xla")
+    ref = np.asarray(ref * alive[:, None])
+    rels = {}
+    for sw in ("exp4", "poly4"):
+        acc = np.asarray(mesh.pm_accel(pos, mass, alive, 80.0, 1.0, origin,
+                                       side, mesh_level=10, split_cells=2.5,
+                                       band=128, chunk=2048, rescue_k=4,
+                                       switch=sw))
+        rel = (np.linalg.norm(acc - ref, axis=-1)
+               / (np.linalg.norm(ref, axis=-1) + 1e-9))[np.asarray(alive)]
+        rels[sw] = rel.mean()
+    assert rels["poly4"] < 2.0 * rels["exp4"], rels
+    assert rels["poly4"] < 2e-2, rels

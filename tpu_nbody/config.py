@@ -112,6 +112,14 @@ class SimConfig:
                                    # Lz noise at ~2x deposit+interp cost),
                                    # 1 = NGP (faster, ~20x noisier mesh
                                    # force — see ops/mesh.py)
+    mesh_switch: str = "exp4"      # short/long split switch shape:
+                                   # "exp4" = exp(-(r/a)^4) (original),
+                                   # "poly4" = (1-r^2/(2a)^2)^4 clamped —
+                                   # compact support at exactly r=2a and
+                                   # ~6x fewer VPU ops/pair on the
+                                   # band+rescue hot paths (ops/mesh.py
+                                   # _short_weight; accuracy measured
+                                   # equal at N=1M, tools/r6_experiments)
     mesh_deconvolve: bool = True   # bake the 1/What^2 assignment-window
                                    # sharpening into the spectral kernel
                                    # (classic P3M; measured 2.4x lower mean

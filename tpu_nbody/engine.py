@@ -209,7 +209,7 @@ def make_pm_accel(cfg: SimConfig):
             side, params.soft2, mesh_level=cfg.mesh_level,
             split_cells=cfg.mesh_split, mesh_ny=cfg.mesh_ny,
             dtype=cfg.jdtype, order=cfg.mesh_order,
-            deconvolve=cfg.mesh_deconvolve)
+            deconvolve=cfg.mesh_deconvolve, switch=cfg.mesh_switch)
 
     def accel(pos, mass, alive, params, kernel=None):
         acc, st = mesh_lib.pm_accel(
@@ -221,7 +221,7 @@ def make_pm_accel(cfg: SimConfig):
             rescue_k_hot=cfg.mesh_rescue_hot,
             rescue_hot_cap=cfg.mesh_rescue_hot_cap, mesh_ny=cfg.mesh_ny,
             return_stats=True, kernel=kernel,
-            heavy_cap=cfg.pm_heavy_cap)
+            heavy_cap=cfg.pm_heavy_cap, switch=cfg.mesh_switch)
         return acc, st
 
     accel.prepare = prepare
@@ -287,7 +287,7 @@ def _make_pm_sorted_step(cfg: SimConfig, merge_heavy_cap: int) -> Callable:
             interlace=cfg.mesh_interlace,
             rescue_k=cfg.mesh_rescue, rescue_k_hot=cfg.mesh_rescue_hot,
             rescue_hot_cap=cfg.mesh_rescue_hot_cap, mesh_ny=cfg.mesh_ny,
-            kernel=kernel)
+            kernel=kernel, switch=cfg.mesh_switch)
 
     def permute(state, o):
         return state._replace(pos=state.pos[o], vel=state.vel[o],
@@ -303,7 +303,7 @@ def _make_pm_sorted_step(cfg: SimConfig, merge_heavy_cap: int) -> Callable:
             side, params.soft2, mesh_level=cfg.mesh_level,
             split_cells=cfg.mesh_split, mesh_ny=cfg.mesh_ny,
             dtype=cfg.jdtype, order=cfg.mesh_order,
-            deconvolve=cfg.mesh_deconvolve)
+            deconvolve=cfg.mesh_deconvolve, switch=cfg.mesh_switch)
         perm = sort_order(state)
         state = permute(state, perm)
         acc0, need0 = accel_sorted(state.pos, state.mass, state.alive,
@@ -401,7 +401,8 @@ def _make_pm_subcycled_step(cfg: SimConfig, merge_heavy_cap: int) -> Callable:
             mesh_level=cfg.mesh_level, split_cells=cfg.mesh_split,
             order=cfg.mesh_order, interlace=cfg.mesh_interlace,
             mesh_ny=cfg.mesh_ny, heavy_cap=H,
-            deconvolve=cfg.mesh_deconvolve, kernel=kernel, prev=prev)
+            deconvolve=cfg.mesh_deconvolve, kernel=kernel, prev=prev,
+            switch=cfg.mesh_switch)
 
     def accel_sorted(spos, smass, salive, params, kernel, ms,
                      stale_frac=None):
@@ -414,7 +415,7 @@ def _make_pm_subcycled_step(cfg: SimConfig, merge_heavy_cap: int) -> Callable:
             rescue_hot_cap=cfg.mesh_rescue_hot_cap, mesh_ny=cfg.mesh_ny,
             kernel=kernel, mesh_state=ms, heavy_cap=H,
             self_correct=cfg.pm_self_correct and M > 1,
-            stale_frac=stale_frac)
+            stale_frac=stale_frac, switch=cfg.mesh_switch)
 
     def permute(state, o):
         return state._replace(pos=state.pos[o], vel=state.vel[o],
@@ -434,7 +435,7 @@ def _make_pm_subcycled_step(cfg: SimConfig, merge_heavy_cap: int) -> Callable:
             side, params.soft2, mesh_level=cfg.mesh_level,
             split_cells=cfg.mesh_split, mesh_ny=cfg.mesh_ny,
             dtype=cfg.jdtype, order=cfg.mesh_order,
-            deconvolve=cfg.mesh_deconvolve)
+            deconvolve=cfg.mesh_deconvolve, switch=cfg.mesh_switch)
         perm = sort_order(state)
         state = permute(state, perm)
         ms = mesh_state_fn(state.pos, state.mass, state.alive, params,

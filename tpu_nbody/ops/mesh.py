@@ -42,6 +42,27 @@ import jax.numpy as jnp
 from tpu_nbody.ops import morton
 
 
+def _short_weight(r2, a, switch: str = "exp4"):
+    """Short-range switch weight w(r2): F_short = w·F, F_long = (1−w)·F.
+
+    ``exp4`` — exp(−(r/a)⁴): the original split, super-smooth decay,
+    ~1e-7 at r = 2a (the rescue cutoff).
+    ``poly4`` — (1 − r²/(2a)²)⁴ clamped at 0: compactly supported at
+    EXACTLY r = 2a, C³ at the cutoff, and ~6x fewer VPU ops per pair
+    than exp on the band/rescue hot paths (measured r5: band 7.8 → 5.9,
+    rescue 21.0 → 17.5 ms at N=1M; end-to-end pm force error unchanged —
+    tools/r6_experiments.py switch). Both sides of the split consult
+    THIS function (the spectral kernel samples 1 − w), so the sum
+    F_short + F_long is exact for any choice.
+    """
+    if switch == "poly4":
+        s = r2 / (4.0 * a * a)
+        t = jnp.maximum(0.0, 1.0 - s)
+        t2 = t * t
+        return t2 * t2
+    return jnp.exp(-((r2 / (a * a)) ** 2))
+
+
 def _hilbert_sort(pos, mass, alive, origin, side):
     codes = morton.hilbert_codes(pos, origin, side, alive)
     order = jnp.argsort(codes, stable=True)
@@ -76,7 +97,8 @@ def _assignment_deconv(grid, grid_y, order, dtype):
     return 1.0 / jnp.maximum(w2, jnp.asarray(1e-6, dtype))
 
 
-def _kernel_hats(grid, h, soft2, a, dtype, grid_y=None, deconv_order=0):
+def _kernel_hats(grid, h, soft2, a, dtype, grid_y=None, deconv_order=0,
+                 switch="exp4"):
     """Spectral kernels for the long-range convolution: (Kx̂, Kŷ, φ̂).
 
     Kx̂/Kŷ are rfft2s of the sampled long-range force kernel. Offsets are
@@ -116,8 +138,7 @@ def _kernel_hats(grid, h, soft2, a, dtype, grid_y=None, deconv_order=0):
     dx = off[None, :]
     r2 = dx * dx + dy * dy
     inv = jax.lax.rsqrt(r2 + soft2) / (r2 + soft2)
-    r = jnp.sqrt(r2)
-    long_frac = 1.0 - jnp.exp(-((r / a) ** 4))
+    long_frac = 1.0 - _short_weight(r2, a, switch)
     kx = -dx * inv * long_frac
     ky = -dy * inv * long_frac
     kx_hat = jnp.fft.rfft2(kx)
@@ -144,10 +165,10 @@ def _kernel_hats(grid, h, soft2, a, dtype, grid_y=None, deconv_order=0):
 
 @functools.partial(jax.jit, static_argnames=("mesh_level", "split_cells",
                                               "mesh_ny", "dtype", "order",
-                                              "deconvolve"))
+                                              "deconvolve", "switch"))
 def kernel_hats_for(root_side, soft2, *, mesh_level: int, split_cells: float,
                     mesh_ny: int = 0, dtype=jnp.float32, order: int = 2,
-                    deconvolve: bool = True):
+                    deconvolve: bool = True, switch: str = "exp4"):
     """Precompute the (Kx_hat, Ky_hat, phi_hat) long-range kernel FFTs.
 
     They depend only on static config + per-run-constant ``soft2``, so hoist
@@ -166,10 +187,12 @@ def kernel_hats_for(root_side, soft2, *, mesh_level: int, split_cells: float,
     h = root_side / nw
     a = split_cells * h
     return _kernel_hats(grid, h, soft2, a, dtype, grid_y=2 * ny,
-                        deconv_order=order if deconvolve else 0)
+                        deconv_order=order if deconvolve else 0,
+                        switch=switch)
 
 
-def _band_short_range(spos, smass, soft2, a, *, band: int, chunk: int):
+def _band_short_range(spos, smass, soft2, a, *, band: int, chunk: int,
+                      switch: str = "exp4"):
     """Short-range pair sum over a sorted-order band.
 
     Block-tridiagonal formulation: bodies are split into blocks of ``band``
@@ -211,7 +234,7 @@ def _band_short_range(spos, smass, soft2, a, *, band: int, chunk: int):
         # measured ~10% off the band pass (tools/r4_experiments.py pairops).
         inv = jax.lax.rsqrt(r2 + soft2)
         w = mj * (inv * inv * inv)
-        w = w * jnp.exp(-((r2 / (a * a)) ** 2))  # (r/a)^4 switch
+        w = w * _short_weight(r2, a, switch)
         return jnp.stack([jnp.sum(w * dx, axis=2),
                           jnp.sum(w * dy, axis=2)], axis=-1)  # (cb, S, 2)
 
@@ -220,7 +243,8 @@ def _band_short_range(spos, smass, soft2, a, *, band: int, chunk: int):
 
 
 def _block_rescue(spos, smass, salive, soft2, a, *, band: int, k: int,
-                  chunk: int, k_hot: int = 0, hot_cap: int = 128):
+                  chunk: int, k_hot: int = 0, hot_cap: int = 128,
+                  switch: str = "exp4"):
     """Exact short-range rescue for pairs >1 block apart in sorted order.
 
     The tri-diagonal band covers every pair within one ``band``-block in
@@ -317,7 +341,7 @@ def _block_rescue(spos, smass, salive, soft2, a, *, band: int, k: int,
         r2 = dx * dx + dy * dy
         inv = jax.lax.rsqrt(r2 + soft2)
         w = pm[:, None, :] * (inv * inv * inv)
-        w = w * jnp.exp(-((r2 / (a * a)) ** 2))
+        w = w * _short_weight(r2, a, switch)
         acc = jnp.stack([jnp.sum(w * dx, axis=2),
                          jnp.sum(w * dy, axis=2)], axis=-1)  # (cb, S, 2)
         return acc, cnt
@@ -361,7 +385,7 @@ def _block_rescue(spos, smass, salive, soft2, a, *, band: int, k: int,
         r2 = dx * dx + dy * dy
         inv = jax.lax.rsqrt(r2 + soft2)
         w = pm[:, None, :] * (inv * inv * inv)
-        w = w * jnp.exp(-((r2 / (a * a)) ** 2))
+        w = w * _short_weight(r2, a, switch)
         acc2 = jnp.stack([jnp.sum(w * dx, axis=2),
                           jnp.sum(w * dy, axis=2)], axis=-1)  # (H, S, 2)
         rows = (hid[:, None] * S
@@ -698,7 +722,7 @@ def pm_mesh_state(spos, smass, salive, soft2, origin, root_side, *,
                   mesh_level: int, split_cells: float, order: int = 2,
                   interlace: bool = False, mesh_ny: int = 0,
                   heavy_cap: int = 0, deconvolve: bool = True, kernel=None,
-                  prev=None):
+                  prev=None, switch: str = "exp4"):
     """Build the carried long-range mesh state for F_long subcycling.
 
     Returns ``(grids, dep_pos, dep_wmass, heavy_mask)``:
@@ -753,7 +777,8 @@ def pm_mesh_state(spos, smass, salive, soft2, origin, root_side, *,
         a_ = split_cells * h
         kernel = _kernel_hats(grid, h, soft2, a_, dtype,
                               grid_y=2 * ny if ny != nw else None,
-                              deconv_order=order if deconvolve else 0)
+                              deconv_order=order if deconvolve else 0,
+                              switch=switch)
     def table(origin_, prev_tab):
         fx, fy = _mesh_grids_one(spos, dep_wmass, origin_, h, nw, grid,
                                  order, kernel, ny=ny)
@@ -773,7 +798,7 @@ def pm_mesh_state(spos, smass, salive, soft2, origin, root_side, *,
     return grids, spos, dep_wmass, heavy_mask
 
 
-def _self_term(spos, dep_pos, dep_wmass, soft2, a):
+def _self_term(spos, dep_pos, dep_wmass, soft2, a, switch="exp4"):
     """Analytic stale-grid self-force cancellation (per body, O(n)).
 
     A body interpolating a stale grid feels its own deposited image:
@@ -787,11 +812,12 @@ def _self_term(spos, dep_pos, dep_wmass, soft2, a):
     r2 = jnp.sum(d * d, axis=1)
     inv = jax.lax.rsqrt(r2 + soft2)
     w = dep_wmass * (inv * inv * inv)
-    w = w * (1.0 - jnp.exp(-((r2 / (a * a)) ** 2)))
+    w = w * (1.0 - _short_weight(r2, a, switch))
     return w[:, None] * d
 
 
-def _heavy_direct(spos, smass, salive, heavy_mask, soft2, a, heavy_cap):
+def _heavy_direct(spos, smass, salive, heavy_mask, soft2, a, heavy_cap,
+                  switch="exp4"):
     """Exact F_long from the ``heavy_cap`` masked heavy bodies, fresh.
 
     Dense (n x heavy_cap) pair math at current positions — the heavies'
@@ -810,7 +836,7 @@ def _heavy_direct(spos, smass, salive, heavy_mask, soft2, a, heavy_cap):
     r2 = dx * dx + dy * dy
     inv = jax.lax.rsqrt(r2 + soft2)
     w = hm[None, :] * (inv * inv * inv)
-    w = w * (1.0 - jnp.exp(-((r2 / (a * a)) ** 2)))
+    w = w * (1.0 - _short_weight(r2, a, switch))
     return -jnp.stack([jnp.sum(w * dx, axis=1),
                        jnp.sum(w * dy, axis=1)], axis=-1)
 
@@ -822,7 +848,8 @@ def pm_accel_sorted(spos, smass, salive, G, soft2, origin, root_side, *,
                     rescue_hot_cap: int = 128, mesh_ny: int = 0,
                     deconvolve: bool = True, kernel=None,
                     mesh_state=None, heavy_cap: int = 0,
-                    self_correct: bool = True, stale_frac=None):
+                    self_correct: bool = True, stale_frac=None,
+                    switch: str = "exp4"):
     """P3M acceleration in the Hilbert-SORTED frame: (n, 2) -> (n, 2).
 
     The body arrays must already be in Hilbert order over the root quad
@@ -865,7 +892,8 @@ def pm_accel_sorted(spos, smass, salive, G, soft2, origin, root_side, *,
         # Fresh full pass, everyone on the mesh (the default path).
         if kernel is None:
             kernel = _kernel_hats(grid, h, soft2, a, dtype, grid_y=2 * ny,
-                                  deconv_order=order if deconvolve else 0)
+                                  deconv_order=order if deconvolve else 0,
+                                  switch=switch)
         acc_mesh = _mesh_force(spos, smass, morigin, h, nw, grid, soft2, a,
                                order, kernel, ny=ny)
         if interlace:
@@ -883,7 +911,7 @@ def pm_accel_sorted(spos, smass, salive, G, soft2, origin, root_side, *,
                 spos, smass, salive, soft2, origin, root_side,
                 mesh_level=mesh_level, split_cells=split_cells, order=order,
                 interlace=interlace, mesh_ny=mesh_ny, heavy_cap=heavy_cap,
-                deconvolve=deconvolve, kernel=kernel)
+                deconvolve=deconvolve, kernel=kernel, switch=switch)
         grids, dep_pos, dep_wmass, heavy_mask = mesh_state
         base, w = _cic_cells(spos, morigin, h, nw, order, ny=ny)
         acc_mesh = _interp_rows(grids[0], base, w, frac=stale_frac)
@@ -894,20 +922,21 @@ def pm_accel_sorted(spos, smass, salive, G, soft2, origin, root_side, *,
                                                       frac=stale_frac))
         if self_correct:
             acc_mesh = acc_mesh + _self_term(spos, dep_pos, dep_wmass,
-                                             soft2, a)
+                                             soft2, a, switch=switch)
         if heavy_cap:
             acc_mesh = acc_mesh + _heavy_direct(spos, smass, salive,
                                                 heavy_mask, soft2, a,
-                                                heavy_cap)
+                                                heavy_cap, switch=switch)
 
     acc_short = _band_short_range(spos, smass, soft2, a, band=band,
-                                  chunk=chunk)
+                                  chunk=chunk, switch=switch)
     rescue_need = jnp.int32(0)
     hot_count = jnp.int32(0)
     if rescue_k:
         acc_r, rescue_need, hot_count = _block_rescue(
             spos, smass, salive, soft2, a, band=band, k=rescue_k,
-            chunk=chunk, k_hot=rescue_k_hot, hot_cap=rescue_hot_cap)
+            chunk=chunk, k_hot=rescue_k_hot, hot_cap=rescue_hot_cap,
+            switch=switch)
         acc_short = acc_short + acc_r
 
     acc = (acc_mesh + acc_short) * salive[:, None].astype(dtype)
@@ -920,13 +949,14 @@ def pm_accel_sorted(spos, smass, salive, G, soft2, origin, root_side, *,
                                               "rescue_k_hot",
                                               "rescue_hot_cap", "mesh_ny",
                                               "deconvolve", "return_stats",
-                                              "heavy_cap"))
+                                              "heavy_cap", "switch"))
 def pm_accel(pos, mass, alive, G, soft2, origin, root_side, *,
              mesh_level: int, split_cells: float, band: int, chunk: int,
              order: int = 2, interlace: bool = False, rescue_k: int = 0,
              rescue_k_hot: int = 0, rescue_hot_cap: int = 128,
              mesh_ny: int = 0, deconvolve: bool = True,
-             return_stats: bool = False, kernel=None, heavy_cap: int = 0):
+             return_stats: bool = False, kernel=None, heavy_cap: int = 0,
+             switch: str = "exp4"):
     """P3M acceleration, original body order. (n, 2) -> (n, 2).
 
     mesh_level: world grid is 2^level x 2^level over the root quad; the FFT
@@ -967,7 +997,7 @@ def pm_accel(pos, mass, alive, G, soft2, origin, root_side, *,
         chunk=chunk, order=order, interlace=interlace, rescue_k=rescue_k,
         rescue_k_hot=rescue_k_hot, rescue_hot_cap=rescue_hot_cap,
         mesh_ny=mesh_ny, deconvolve=deconvolve, kernel=kernel,
-        heavy_cap=heavy_cap)
+        heavy_cap=heavy_cap, switch=switch)
     out = acc[unsort]
     if return_stats:
         return out, {"rescue_need": rescue_need, "rescue_hot": hot_count,

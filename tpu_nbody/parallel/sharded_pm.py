@@ -195,7 +195,8 @@ def _bbox_gap2(bb, other):
 
 
 def _cross_shard_rescue(spos, smass, salive, soft2, a, *, band, k,
-                        export_cap, chunk, axis, n_shards):
+                        export_cap, chunk, axis, n_shards,
+                        switch="exp4"):
     """Short-range rescue for block pairs on DIFFERENT shards.
 
     The shard-local :func:`tpu_nbody.ops.mesh._block_rescue` recovers pairs
@@ -288,7 +289,7 @@ def _cross_shard_rescue(spos, smass, salive, soft2, a, *, band, k,
         r2 = dx * dx + dy * dy
         inv = jax.lax.rsqrt(r2 + soft2)
         w = pm[:, None, :] * (inv * inv * inv)
-        w = w * jnp.exp(-((r2 / (a * a)) ** 2))
+        w = w * mesh_ops._short_weight(r2, a, switch)
         return jnp.stack([jnp.sum(w * dx, axis=2),
                           jnp.sum(w * dy, axis=2)], axis=-1)
 
@@ -301,7 +302,7 @@ def _pm_accel_local_sorted(spos, smass, salive, G, soft2, origin, root_side,
                            *, mesh_level, split_cells, band, chunk, rescue_k,
                            axis, n_shards, order=2, interlace=False,
                            mesh_ny=0, xrescue_k=0, xrescue_export=0,
-                           deconvolve=True, kernel=None):
+                           deconvolve=True, kernel=None, switch="exp4"):
     """P3M acceleration for a locally Hilbert-SORTED shard (inside shard_map).
 
     Feature parity with the single-chip :func:`tpu_nbody.ops.mesh.
@@ -346,7 +347,7 @@ def _pm_accel_local_sorted(spos, smass, salive, G, soft2, origin, root_side,
         kernel = mesh_ops._kernel_hats(grid, h, soft2, a, dtype,
                                        grid_y=grid_y,
                                        deconv_order=order if deconvolve
-                                       else 0)
+                                       else 0, switch=switch)
 
     def mesh_pass(mo):
         base, w = mesh_ops._cic_cells(spos, mo, h, nw, order, ny=ny)
@@ -379,7 +380,7 @@ def _pm_accel_local_sorted(spos, smass, salive, G, soft2, origin, root_side,
     ext = jnp.concatenate([halo_left, fields, halo_right])
     acc_short = mesh_ops._band_short_range(
         ext[:, :2], ext[:, 2], soft2, a, band=S,
-        chunk=chunk)[S:S + spos.shape[0]]
+        chunk=chunk, switch=switch)[S:S + spos.shape[0]]
     rescue_need = jnp.int32(0)
     xport_need = jnp.int32(0)
     ximp_need = jnp.int32(0)
@@ -389,7 +390,7 @@ def _pm_accel_local_sorted(spos, smass, salive, G, soft2, origin, root_side,
         # shard's curve segment.
         acc_r, rescue_need, _ = mesh_ops._block_rescue(
             spos, smass, salive, soft2, a, band=band, k=rescue_k,
-            chunk=chunk)
+            chunk=chunk, switch=switch)
         acc_short = acc_short + acc_r
     if xrescue_k and n_shards > 1:
         # Cross-shard rescue: discontinuity pairs whose blocks live on two
@@ -397,7 +398,7 @@ def _pm_accel_local_sorted(spos, smass, salive, G, soft2, origin, root_side,
         acc_x, xport_need, ximp_need = _cross_shard_rescue(
             spos, smass, salive, soft2, a, band=band, k=xrescue_k,
             export_cap=xrescue_export, chunk=chunk, axis=axis,
-            n_shards=n_shards)
+            n_shards=n_shards, switch=switch)
         acc_short = acc_short + acc_x
 
     acc = (acc_mesh + acc_short) * salive[:, None].astype(dtype)
@@ -538,7 +539,8 @@ def make_sharded_pm_step(mesh: Mesh, cfg: SimConfig, *,
             order=cfg.mesh_order, interlace=cfg.mesh_interlace,
             mesh_ny=cfg.mesh_ny, xrescue_k=cfg.mesh_xrescue,
             xrescue_export=xrescue_export,
-            deconvolve=cfg.mesh_deconvolve, kernel=kernel)
+            deconvolve=cfg.mesh_deconvolve, kernel=kernel,
+            switch=cfg.mesh_switch)
 
     def sort_local(state: SimState, perm):
         codes = morton.hilbert_codes(state.pos,
@@ -644,7 +646,7 @@ def make_sharded_pm_step(mesh: Mesh, cfg: SimConfig, *,
             side, params.soft2, mesh_level=cfg.mesh_level,
             split_cells=cfg.mesh_split, mesh_ny=cfg.mesh_ny,
             dtype=cfg.jdtype, order=cfg.mesh_order,
-            deconvolve=cfg.mesh_deconvolve)
+            deconvolve=cfg.mesh_deconvolve, switch=cfg.mesh_switch)
 
     unsort = smap(unsort_local, (state_specs, sharded), state_specs)
 
