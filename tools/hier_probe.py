@@ -32,6 +32,12 @@ def main():
     ap.add_argument("--hier-batch", type=int, default=32)
     ap.add_argument("--max-depth", type=int, default=14)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--scene", default="twodisk",
+                    choices=["twodisk", "uniform", "multi"],
+                    help="twodisk = bench scene; uniform = homogeneous "
+                         "cloud; multi = 4-galaxy merger (clustered) — "
+                         "VERDICT r4 item 10: hier cap needs beyond the "
+                         "single tuned scene")
     ap.add_argument("--config", action="append", default=[],
                     help="extra sweep config 'sizes/cand_caps/leaf/direct"
                          "/batch', e.g. '1024,64,8,1/131072,32768,4096,1024"
@@ -52,8 +58,14 @@ def main():
     cap = 1 << (n - 1).bit_length()
     cfg = SimConfig(capacity=cap, max_depth=args.max_depth)
     n2 = n // 5
-    p, v, m = scenes.default_two_disk_scene(jax.random.PRNGKey(3),
-                                            n1=n - n2, n2=n2)
+    if args.scene == "uniform":
+        p, v, m = scenes.make_uniform_cloud(jax.random.PRNGKey(3), n)
+    elif args.scene == "multi":
+        p, v, m = scenes.multi_galaxy_merger(jax.random.PRNGKey(3),
+                                             n_total=n)
+    else:
+        p, v, m = scenes.default_two_disk_scene(jax.random.PRNGKey(3),
+                                                n1=n - n2, n2=n2)
     pos = jnp.zeros((cap, 2), jnp.float32).at[:n].set(p)
     mass = jnp.zeros((cap,), jnp.float32).at[:n].set(m)
     alive = jnp.arange(cap) < n
