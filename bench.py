@@ -249,6 +249,11 @@ def main():
             frontier_cap=1024 if big_bh else 512,
             leaf_list_cap=2048 if big_bh else 256,
             bh_hier_cand_caps=(131072, 32768, 4096),
+            # the FUSED one-step graph at N=1M hier caps overruns the
+            # tunnel's remote compile helper (HTTP 500 after ~56 min,
+            # twice, round 5); the 4-executable phase-split stream
+            # compiles in minutes and is trajectory-identical
+            bh_stream_split=big_bh,
             mesh_level=10 if args.small else 12,
             # rect mesh: the scene is 2400x800 in a 2404^2 root quad — half
             # the rows covers y in [-201, 1001] with margin and halves the

@@ -117,6 +117,29 @@ def test_step_stream_matches_step():
                                   np.asarray(b.state.alive))
 
 
+def test_step_stream_split_matches_step():
+    """bh_stream_split (4 small executables per step: build / traverse /
+    kick+drift / kick+merge — the fallback for the tunnel compiler's
+    fused-graph limit at N=1M) must follow step's fused scan trajectory;
+    op order is identical so any deltas are cross-executable
+    fusion/rounding differences."""
+    cfg = SimConfig(capacity=512, **SMALL)
+    a = Engine(cfg, solver="bh", integrator="kdk_reuse", seed=5)
+    b = Engine(SimConfig(capacity=512, bh_stream_split=True, **SMALL),
+               solver="bh", integrator="kdk_reuse", seed=5)
+    a.reset_default_scene(n1=300, n2=100)
+    b.reset_default_scene(n1=300, n2=100)
+    a.step(4)
+    b.step_stream(4)
+    assert int(b.state.step) == 4
+    np.testing.assert_allclose(np.asarray(a.state.pos),
+                               np.asarray(b.state.pos), rtol=1e-6, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(a.state.vel),
+                               np.asarray(b.state.vel), rtol=1e-6, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(a.state.alive),
+                                  np.asarray(b.state.alive))
+
+
 def test_step_stream_pm():
     """step_stream must not crash on the pm persistent-sort step (it has no
     seed/carry split — round-4 regression: AttributeError on seed_fn); it

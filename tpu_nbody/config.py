@@ -161,6 +161,15 @@ class SimConfig:
                                    # instances in one executable (known to
                                    # kernel-fault the TPU worker at N=1M;
                                    # see engine.make_step_fn)
+    bh_stream_split: bool = False  # Engine.step_stream (bh + kdk_reuse):
+                                   # run each step as FOUR small
+                                   # executables (tree build / traversal /
+                                   # kick+drift / kick+merge) instead of
+                                   # one fused step graph — the fused
+                                   # graph at N=1M caps overruns the
+                                   # tunnel's remote compile helper, the
+                                   # phases compile in minutes
+                                   # (engine.make_step_fn phase_fns)
     pm_persistent_sort: bool = True  # pm + kdk_reuse: keep state in Hilbert
                                    # order across scan steps (sort/unsort
                                    # paid once per resort interval, not per

@@ -700,6 +700,68 @@ def make_step_fn(cfg: SimConfig, caps: Caps, solver: str, integrator: str,
         step_n.seed_fn = seed_fn
         step_n.carry_fn = carry_fn
 
+        if solver == "bh":
+            # Phase-split stream executables: at N=1M hier caps the FUSED
+            # one-step graph (tree build + traversal + integrate + merge)
+            # can overrun the tunnel's remote compile helper (HTTP 500
+            # after ~56 min), while the same phases compile in minutes as
+            # separate executables (tools/hier_probe.py builds and
+            # traverses in their own jits). ``Engine.step_stream`` drives
+            # these when ``cfg.bh_stream_split`` is set: 4 dispatches per
+            # step (~1 ms each) against a ~0.5 s N=1M step, identical op
+            # order to the fused kdk_reuse one_step.
+            ox, oy = cfg.root_center
+            b_origin = (ox - cfg.root_half, oy - cfg.root_half)
+            b_side = 2.0 * cfg.root_half
+            b_traversal = _resolve_traversal(cfg)
+
+            @jax.jit
+            def build_fn(pos, mass, alive):
+                mass_exert = mass
+                if strict_parity:
+                    inside = ((pos[:, 0] >= b_origin[0])
+                              & (pos[:, 0] < b_origin[0] + b_side)
+                              & (pos[:, 1] >= b_origin[1])
+                              & (pos[:, 1] < b_origin[1] + b_side))
+                    mass_exert = jnp.where(inside, mass, 0.0)
+                return tree_lib.build_tree(pos, mass_exert, alive, b_origin,
+                                           b_side, num_nodes=caps.num_nodes,
+                                           leaf_size=cfg.leaf_size,
+                                           max_depth=cfg.max_depth)
+
+            @jax.jit
+            def trav_fn(t, params):
+                return traverse.bh_accel_from_tree(
+                    t, params.theta, params.soft2, params.G,
+                    group_size=caps.group_size, group_cap=caps.group_cap,
+                    max_depth=cfg.max_depth, frontier_cap=caps.frontier_cap,
+                    approx_cap=caps.approx_cap,
+                    leaf_list_cap=caps.leaf_list_cap,
+                    direct_body_cap=caps.direct_body_cap,
+                    group_chunk=cfg.group_chunk, traversal=b_traversal,
+                    hier_sizes=tuple(cfg.bh_hier_sizes),
+                    cand_caps=caps.cand_caps, hier_batch=cfg.bh_hier_batch)
+
+            @jax.jit
+            def pre_fn(state, acc, params):
+                pos = state.pos
+                if pre_step is not None:
+                    pos = tree_lib.strict_parity_nudge(
+                        pos, state.alive, b_origin, b_side)
+                half = params.dt * 0.5
+                vel_half = state.vel + acc * half
+                return pos + vel_half * params.dt, vel_half
+
+            @jax.jit
+            def post_fn(state, pos_new, vel_half, acc2, params):
+                half = params.dt * 0.5
+                st = state._replace(pos=pos_new,
+                                    vel=vel_half + acc2 * half,
+                                    step=state.step + 1)
+                return merge_bodies(st, params, heavy_cap=merge_heavy_cap)
+
+            step_n.phase_fns = (build_fn, trav_fn, pre_fn, post_fn)
+
     else:
         raise ValueError(f"unknown integrator {integrator!r}")
 
@@ -832,6 +894,34 @@ class Engine:
             # seed/carry split — its scan body holds no BH traversal so the
             # scan fault this method exists to dodge cannot hit it.
             return self.step(n)
+
+        fns = getattr(self._step_fn, "phase_fns", None)
+        if fns is not None and self.cfg.bh_stream_split:
+            # Split executables (build / traverse / pre / post) — see the
+            # phase_fns comment in make_step_fn for why.
+            build_fn, trav_fn, pre_fn, post_fn = fns
+            zero = jnp.int32(0)
+
+            def pack(tstats, heavy):
+                return {"trav": tstats, "heavy_need": heavy,
+                        "rescue_need": zero, "rescue_hot": zero,
+                        "mesh_oob": zero}
+
+            def run_phases():
+                state = self.state
+                t = build_fn(state.pos, state.mass, state.alive)
+                acc, tstats = trav_fn(t, self.params)
+                agg = pack(tstats, zero)
+                for _ in range(n):
+                    pos2, vhalf = pre_fn(state, acc, self.params)
+                    t = build_fn(pos2, state.mass, state.alive)
+                    acc, tstats = trav_fn(t, self.params)
+                    state, heavy = post_fn(state, pos2, vhalf, acc,
+                                           self.params)
+                    agg = self._step_fn.max_stats(agg, pack(tstats, heavy))
+                return state, self._record_stats(agg)
+
+            return self._run_with_retune(run_phases)
 
         def run_stream():
             state = self.state
