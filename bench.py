@@ -30,7 +30,14 @@ BASELINE_UPDATES_PER_SEC = 7.5e5
 
 # Measured backend primitive ceilings (PERFORMANCE.md, TPU v5e via axon):
 SCATTER_ITEMS_PER_S = 85e6       # random scatter-add floor
-GATHER_ROWS_PER_S = 1e8          # packed row gather (1M x 8 lanes = 10 ms)
+GATHER_ROWS_PER_S = 4.1e7        # packed (n,8) row gather + weight from the
+                                 # BENCH-SIZE (ny*nw, 8) = 268 MB table:
+                                 # 24.5 ms at 1M rows (tools/r6_experiments
+                                 # interp, round 5). The former 1e8 rows/s
+                                 # figure came from a small resident table
+                                 # and understated the HBM random-row cost
+                                 # at this footprint — it made interp look
+                                 # 44% SoL when it is in fact ~93%.
 PAIR_RATE = 89e9                 # dense pair blocks (band/rescue passes)
 ARGSORT_1M_MS = 6.0              # 1M int32 argsort
 FFT_4096SQ_MS = 13.0             # rfft2 + irfft2 at 4096^2 f32
@@ -272,6 +279,11 @@ def main():
             mesh_band=256 if args.small else 128,
             mesh_rescue=4 if args.small else 8,
             mesh_chunk=min(16384, cap),
+            # round-5: compact polynomial short/long switch — measured
+            # BETTER accuracy than exp4 (mean 1.70e-4 vs 1.88e-4 at N=1M)
+            # and ~3x cheaper band pair math (tools/r6_experiments.py
+            # switch; PERFORMANCE.md round-5 section)
+            mesh_switch="poly4",
         )
         params = Params.default(theta=args.theta)
         eng = Engine(cfg, params, solver=args.solver,

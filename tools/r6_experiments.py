@@ -450,7 +450,9 @@ def exp_switch(args):
             grid, h, soft2, a, jnp.float32, grid_y, 2, sw))()
         jax.block_until_ready(kern)
 
-        def pm_force(sp, sm, sa, short_w=short_w, kern=kern):
+        def pm_force(sp, sm, sa, kern, short_w=short_w):
+            # kern is a jit ARGUMENT: closure constants of this size are
+            # unimplemented on the tunnel compiler (PERFORMANCE.md)
             acc_mesh = mesh_ops._mesh_force(sp, sm, morigin, h, nw, grid,
                                             soft2, a, 2, kern, ny=ny)
             acc_band = _band_like(sp, sm, soft2, a, BAND, CHUNK, short_w)
@@ -460,7 +462,7 @@ def exp_switch(args):
             acc = (acc_mesh + acc_band + accr) * sa[:, None]
             return G * acc, need
 
-        accs, need = jax.jit(pm_force)(spos, smass, salive)
+        accs, need = jax.jit(pm_force)(spos, smass, salive, kern)
         acc = np.asarray(accs)
         # compare in the sorted frame: sort the reference the same way
         from tpu_nbody.ops import morton

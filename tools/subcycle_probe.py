@@ -92,9 +92,12 @@ def exp_acc(args):
         side, soft2, mesh_level=cfg.mesh_level, split_cells=cfg.mesh_split,
         mesh_ny=cfg.mesh_ny, order=cfg.mesh_order)
 
+    # NOTE kern and perm are jit ARGUMENTS everywhere below: closure
+    # constants of this size are unimplemented on the tunnel compiler
+    # (PERFORMANCE.md).
     @functools.partial(jax.jit, static_argnames=("heavy_cap", "has_prev"))
-    def build_state(pos, mass, alive, heavy_cap, prev=None,
-                    has_prev=False):
+    def _build_state(pos, mass, alive, kern, perm, heavy_cap, prev=None,
+                     has_prev=False):
         return mesh_ops.pm_mesh_state(
             pos[perm], jnp.where(alive, mass, 0.0)[perm], alive[perm],
             soft2, origin, side, mesh_level=cfg.mesh_level,
@@ -102,10 +105,15 @@ def exp_acc(args):
             heavy_cap=heavy_cap, kernel=kern,
             prev=prev[0] if has_prev else None)
 
+    def build_state(pos, mass, alive, heavy_cap, prev=None,
+                    has_prev=False):
+        return _build_state(pos, mass, alive, kern, perm, heavy_cap,
+                            prev=prev, has_prev=has_prev)
+
     @functools.partial(jax.jit,
                        static_argnames=("heavy_cap", "self_correct"))
-    def stale_force(pos, mass, alive, ms, heavy_cap, self_correct,
-                    frac=0.0):
+    def _stale_force(pos, mass, alive, kern, perm, ms, heavy_cap,
+                     self_correct, frac=0.0):
         sp = pos[perm]
         acc, _ = mesh_ops.pm_accel_sorted(
             sp, mass[perm], alive[perm], G, soft2, origin, side,
@@ -116,8 +124,13 @@ def exp_acc(args):
             stale_frac=jnp.float32(frac))
         return acc[jnp.argsort(perm)]
 
+    def stale_force(pos, mass, alive, ms, heavy_cap, self_correct,
+                    frac=0.0):
+        return _stale_force(pos, mass, alive, kern, perm, ms, heavy_cap,
+                            self_correct, frac=frac)
+
     @jax.jit
-    def fresh_force(pos, mass, alive):
+    def _fresh_force(pos, mass, alive, kern):
         acc, _ = mesh_ops.pm_accel(
             pos, mass, alive, G, soft2, origin, side,
             mesh_level=cfg.mesh_level, split_cells=cfg.mesh_split,
@@ -125,6 +138,9 @@ def exp_acc(args):
             rescue_k=cfg.mesh_rescue, mesh_ny=cfg.mesh_ny,
             return_stats=True, kernel=kern)
         return acc
+
+    def fresh_force(pos, mass, alive):
+        return _fresh_force(pos, mass, alive, kern)
 
     def report(tag, acc, ref, alive):
         sel = np.asarray(alive)
