@@ -256,6 +256,13 @@ def main():
             frontier_cap=1024 if big_bh else 512,
             leaf_list_cap=2048 if big_bh else 256,
             bh_hier_cand_caps=(131072, 32768, 4096),
+            # need-fit group/node caps for the big bh run: the tunnel's
+            # remote-compile wall is cap-volume-dependent (hier_probe
+            # compiles at group_cap 2049 where the default 16448 died —
+            # PERFORMANCE.md round-5 BH section); N=1M two-disk needs
+            # 2048 groups and 179,375 nodes
+            group_cap=2080 if big_bh else 0,
+            node_capacity=(1 << 20) if big_bh else 0,
             # the FUSED one-step graph at N=1M hier caps overruns the
             # tunnel's remote compile helper (HTTP 500 after ~56 min,
             # twice, round 5); the 4-executable phase-split stream
